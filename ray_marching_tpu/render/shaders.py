@@ -1,0 +1,222 @@
+"""The eight-shader stack + cyclic-colourmap domain colouring.
+
+Pure-function re-implementations of the reference shader modules
+(reference: rendering/shader.py), formula-exact including the quirks golden
+parity depends on:
+
+* the ``1e-2`` distance clamps and ``1/2.33`` gamma exponents;
+* **global** (whole-tensor) min/max normalizations in the distance,
+  proximity and laplacian shaders (shader.py:34-37,51-54,83-84) — under a
+  sharded render these become cross-device reductions: pass ``axis_names``
+  when calling from inside ``shard_map``, or let jit+sharding insert the
+  collectives automatically;
+* the spin shader passes ``(im, re)`` into domain colouring's
+  ``(real, imag)`` slots (shader.py:171) — replicated as-is for parity;
+* the 4096-row cyclic colourmap gather with ``floor → int → mod``.
+
+The ``shade_all`` dispatcher renders all eight modes at once — the working
+version of the reference's dead/buggy OmniShader (shader.py:266-346, whose
+3-arg distance call would TypeError; the capability is kept, the bug is not).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ray_marching_tpu import quat
+
+_GAMMA = 1.0 / 2.33
+_CMAP_PATH = Path(__file__).resolve().parent.parent / "data" / "cyclic_cmap.npy"
+
+MODES = (
+    "lambertian",
+    "distance",
+    "proximity",
+    "vignette",
+    "normal",
+    "laplacian",
+    "tangent",
+    "spin",
+)
+
+
+def load_cyclic_cmap(dtype=jnp.float32) -> jnp.ndarray:
+    """The (4096, 3) cyclic colourmap (converted from the reference's
+    data/cyclic_cmap.pt, loaded at shader.py:177)."""
+    return jnp.asarray(np.load(_CMAP_PATH), dtype=dtype)
+
+
+def _global_reduce(x, reduce_fn, pmap_fn, axis_names):
+    """Whole-tensor reduction, extended across mesh axes when named."""
+    val = reduce_fn(x)
+    if axis_names:
+        val = pmap_fn(val, axis_names)
+    return val
+
+
+def lambertian(ray_directions, surface_normals):
+    """``clamp(−⟨v, N⟩, 0, 1)`` (shader.py:12-20) → 1 channel."""
+    return jnp.clip(
+        -jnp.sum(ray_directions * surface_normals, axis=-1, keepdims=True), 0.0, 1.0
+    )
+
+
+def distance(px_coords, surface_coords, axis_names=()):
+    """Log travel distance, globally min-max normalized, gamma-corrected
+    (shader.py:23-38) → 1 channel."""
+    log_dists = jnp.log(
+        jnp.clip(
+            jnp.linalg.norm(px_coords - surface_coords, axis=-1, keepdims=True),
+            1e-2,
+        )
+    )
+    lo = _global_reduce(log_dists, jnp.min, jax_pmin, axis_names)
+    hi = _global_reduce(log_dists, jnp.max, jax_pmax, axis_names)
+    return ((log_dists - lo) / (hi - lo)) ** _GAMMA
+
+
+def proximity(surface_distances, axis_names=()):
+    """Same normalization on terminal SDF values (shader.py:41-55) → 1ch."""
+    log_dists = jnp.log(jnp.clip(surface_distances, 1e-2))
+    lo = _global_reduce(log_dists, jnp.min, jax_pmin, axis_names)
+    hi = _global_reduce(log_dists, jnp.max, jax_pmax, axis_names)
+    return ((log_dists - lo) / (hi - lo)) ** _GAMMA
+
+
+def vignette(ray_directions, pixel_frames):
+    """``⟨v, R·e_z⟩³`` — cosine-to-optical-axis falloff (shader.py:58-66).
+
+    ``pixel_frames`` is (N, 3, 3); its third column is the world-space
+    optical axis. The reference's broadcast is only well-formed for
+    num_cameras == 1; this implements the per-camera semantics (identical
+    output at N == 1).
+    """
+    axis = pixel_frames[:, None, None, :, 2]
+    return jnp.sum(ray_directions * axis, axis=-1, keepdims=True) ** 3
+
+
+def normal(surface_normals):
+    """RGB = |N| clamped (shader.py:69-74) → 3 channels."""
+    return jnp.clip(jnp.abs(surface_normals), 0.0, 1.0)
+
+
+def laplacian(surface_laplacian, axis_names=()):
+    """Laplacian mapped ``(1 − L/max|L|)/2``, clamped, gamma-corrected
+    (shader.py:77-89) → 1 channel."""
+    hi = _global_reduce(jnp.abs(surface_laplacian), jnp.max, jax_pmax, axis_names)
+    x = surface_laplacian / hi
+    return jnp.clip((1.0 - x) / 2.0, 0.0, 1.0) ** _GAMMA
+
+
+def angle_colouring(real_part, imag_part, cyclic_cmap, degree):
+    """Hue from complex argument: gather a cyclic-colourmap row by
+    ``floor((atan2(im, re)/τ + 0.5)·degree·K) mod K`` (shader.py:92-104)."""
+    k = cyclic_cmap.shape[0]
+    idx = jnp.floor(
+        (jnp.arctan2(imag_part, real_part) / math.tau + 0.5) * degree * k
+    ).astype(jnp.int32)
+    return cyclic_cmap[jnp.remainder(idx, k), :]
+
+
+def domain_colouring(real_part, imag_part, cyclic_cmap, degree):
+    """Angle colouring scaled by modulus brightness (shader.py:107-118)."""
+    colours = angle_colouring(real_part, imag_part, cyclic_cmap, degree)
+    brightness = jnp.sqrt(real_part**2 + imag_part**2)[..., None]
+    return brightness * colours
+
+
+def tangent(camera_orientation_conj, ray_directions, surface_normals,
+            cyclic_cmap, degree=1):
+    """Screen-space tangent field: project N onto the sensor plane, rotate
+    into the camera frame with q̄, domain-colour (T_x, T_y)
+    (shader.py:121-150) → 3 channels."""
+    projected = quat.rotation(
+        surface_normals
+        - jnp.sum(surface_normals * ray_directions, axis=-1, keepdims=True)
+        * ray_directions,
+        camera_orientation_conj,
+    )
+    return domain_colouring(
+        projected[..., 0], projected[..., 1], cyclic_cmap, degree
+    )
+
+
+def spin(camera_orientation_conj, surface_normals, cyclic_cmap, degree=1):
+    """S³→S¹ fibration colouring of ``q̄·(0, N)`` (shader.py:153-171).
+
+    Note the reference feeds ``(im, re)`` into domain colouring's
+    ``(real, imag)`` slots — replicated verbatim for pixel parity.
+    """
+    zeros = jnp.zeros(surface_normals.shape[:-1] + (1,), surface_normals.dtype)
+    value = quat.multiply(
+        jnp.concatenate([zeros, surface_normals], axis=-1),
+        camera_orientation_conj,
+    )
+    a, bcd = value[..., 0], value[..., 1:]
+    real_part = a**2 - jnp.sum(bcd**2, axis=-1)
+    imag_part = jnp.linalg.norm(bcd, axis=-1) * a * 2.0
+    return domain_colouring(imag_part, real_part, cyclic_cmap, degree)
+
+
+def jax_pmin(x, axis_names):
+    import jax
+
+    return jax.lax.pmin(x, axis_names)
+
+
+def jax_pmax(x, axis_names):
+    import jax
+
+    return jax.lax.pmax(x, axis_names)
+
+
+def shade(
+    mode: int,
+    *,
+    px_coords,
+    camera_orientation,
+    pixel_frames,
+    ray_directions,
+    surface_coords,
+    surface_normals,
+    surface_laplacian,
+    surface_distances,
+    cyclic_cmap,
+    degree: int = 1,
+    axis_names=(),
+):
+    """Dispatch one of the eight shaders by (static) mode index.
+
+    Mirrors the reference Shader dispatcher's ordered mode list and
+    ``mode % 8`` wraparound (shader.py:204-209). Returns (N, H, W, 1 or 3).
+    """
+    name = MODES[mode % len(MODES)]
+    if name == "lambertian":
+        return lambertian(ray_directions, surface_normals)
+    if name == "distance":
+        return distance(px_coords, surface_coords, axis_names)
+    if name == "proximity":
+        return proximity(surface_distances, axis_names)
+    if name == "vignette":
+        return vignette(ray_directions, pixel_frames)
+    if name == "normal":
+        return normal(surface_normals)
+    if name == "laplacian":
+        return laplacian(surface_laplacian, axis_names)
+    conj = quat.conjugate(camera_orientation)[:, None, None, :]
+    if name == "tangent":
+        return tangent(conj, ray_directions, surface_normals, cyclic_cmap, degree)
+    return spin(conj, surface_normals, cyclic_cmap, degree)
+
+
+def shade_all(**kwargs):
+    """Render every shader mode at once; returns ``{mode_name: image}``.
+
+    The working replacement for the reference's dead OmniShader capability
+    (shader.py:266-346).
+    """
+    return {name: shade(i, **kwargs) for i, name in enumerate(MODES)}

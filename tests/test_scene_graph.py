@@ -1,0 +1,141 @@
+"""Scene graph compiler: composition semantics and parameter pytrees."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_marching_tpu.scene import ops, registry
+from ray_marching_tpu.scene.graph import (
+    Affine,
+    Box,
+    Onion,
+    Rounding,
+    SmoothUnion,
+    Sphere,
+    Torus,
+    Union,
+    compile_scene,
+    init_params,
+    param_paths,
+)
+
+
+def sdf_at(node, pts, dtype=jnp.float64):
+    sdf_vec, _, params = compile_scene(node, dtype)
+    return np.asarray(sdf_vec(params, jnp.asarray(pts, dtype)))[..., 0], params
+
+
+def test_affine_translates_sphere():
+    node = Affine(
+        child=Sphere(radius=0.5),
+        orientation=(1.0, 0.0, 0.0, 0.0),
+        translation=(0.0, 0.0, 1.0),
+    )
+    d, _ = sdf_at(node, [[0.0, 0.0, 1.0], [0.0, 0.0, 0.0]])
+    np.testing.assert_allclose(d, [-0.5, 0.5], atol=1e-15)
+
+
+def test_affine_rotation_moves_box_corner():
+    # 90° rotation about z: q = (cos45, 0, 0, sin45); world x-axis maps from
+    # local y-axis, so a box elongated in local y appears elongated in world x.
+    s = np.sqrt(0.5)
+    node = Affine(
+        child=Box(halfsides=(0.1, 1.0, 0.1)),
+        orientation=(s, 0.0, 0.0, s),
+        translation=(0.0, 0.0, 0.0),
+    )
+    d, _ = sdf_at(node, [[0.9, 0.0, 0.0], [0.0, 0.9, 0.0]])
+    np.testing.assert_allclose(d, [-0.1, 0.8], atol=1e-12)
+
+
+def test_union_is_min():
+    node = Union(children=(Sphere(radius=0.5), Sphere(radius=1.0)))
+    d, _ = sdf_at(node, [[2.0, 0.0, 0.0]])
+    np.testing.assert_allclose(d, [1.0], atol=1e-15)
+
+
+def test_smooth_union_bounds_min():
+    node = SmoothUnion(
+        children=(Sphere(radius=0.5), Torus(radius1=1.0, radius2=0.25)),
+        blend_k=22.0,
+    )
+    hard = Union(children=(Sphere(radius=0.5), Torus(radius1=1.0, radius2=0.25)))
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-2, 2, (128, 3))
+    d_soft, _ = sdf_at(node, pts)
+    d_hard, _ = sdf_at(hard, pts)
+    # logsumexp soft-min is a lower bound of the hard min, within log(n)/k.
+    assert np.all(d_soft <= d_hard + 1e-12)
+    assert np.all(d_soft >= d_hard - np.log(2) / 22.0 - 1e-12)
+
+
+def test_smooth_union_matches_closed_form():
+    node = SmoothUnion(children=(Sphere(radius=0.5), Sphere(radius=1.0)), blend_k=8.0)
+    pts = np.asarray([[1.7, 0.3, -0.2]])
+    d, _ = sdf_at(node, pts)
+    r = np.linalg.norm(pts[0])
+    d1, d2 = r - 0.5, r - 1.0
+    want = -np.log(np.exp(-8 * d1) + np.exp(-8 * d2)) / 8
+    np.testing.assert_allclose(d, [want], rtol=1e-12)
+
+
+def test_onion_and_rounding():
+    onion = Onion(child=Sphere(radius=1.0), radius=0.1)
+    d, _ = sdf_at(onion, [[1.05, 0, 0], [1.5, 0, 0], [0.5, 0, 0]])
+    np.testing.assert_allclose(d, [-0.05, 0.4, 0.4], atol=1e-15)
+
+    rounded = Rounding(child=Sphere(radius=1.0), rounding=0.1)
+    d, _ = sdf_at(rounded, [[1.05, 0, 0]])
+    np.testing.assert_allclose(d, [-0.05], atol=1e-15)
+
+
+def test_registry_scenes_compile_and_evaluate():
+    for name in registry.available_scenes():
+        node = registry.make_scene(name)
+        sdf_vec, sdf_c, params = compile_scene(node, jnp.float64)
+        pts = jnp.asarray(np.random.default_rng(0).uniform(-3, 3, (4, 5, 3)))
+        d = sdf_vec(params, pts)
+        assert d.shape == (4, 5, 1)
+        assert np.all(np.isfinite(np.asarray(d)))
+        # componentwise and vector paths agree exactly
+        d_c = sdf_c(params, pts[..., 0], pts[..., 1], pts[..., 2])
+        np.testing.assert_array_equal(np.asarray(d)[..., 0], np.asarray(d_c))
+
+
+def test_param_paths_test_scene():
+    node = registry.make_scene("test_scene")
+    paths = param_paths(init_params(node, jnp.float64))
+    # SmoothUnion(blend_k) + 4 children with their leaves.
+    assert "blend_k" in paths
+    assert "c0/orientation" in paths and "c0/translation" in paths
+    assert "c0/child/radius" in paths  # onion radius
+    assert "c0/child/child/halfsides" in paths
+    assert "c1/child/radius" in paths
+    assert "c2/start" in paths and "c2/end" in paths and "c2/radius" in paths
+    assert "c3/child/radius1" in paths and "c3/child/radius2" in paths
+    assert "c1/orientation" in paths and "c3/translation" in paths
+    assert len(paths) == 15
+
+
+def test_every_leaf_is_differentiable():
+    node = registry.make_scene("test_scene")
+    sdf_vec, _, params = compile_scene(node, jnp.float64)
+    pts = jnp.asarray(np.random.default_rng(2).uniform(-2, 2, (16, 3)))
+
+    grads = jax.grad(lambda pp: jnp.sum(sdf_vec(pp, pts) ** 2))(params)
+    flat = param_paths(grads)
+    for path, g in flat.items():
+        assert np.all(np.isfinite(np.asarray(g))), path
+    # At least blend_k and some geometry leaves receive nonzero gradient.
+    assert np.any(np.asarray(flat["blend_k"]) != 0)
+    assert np.any(np.asarray(flat["c1/child/radius"]) != 0)
+
+
+def test_union_gradient_routes_to_active_child():
+    node = Union(children=(Sphere(radius=0.5), Sphere(radius=2.0)))
+    sdf_vec, _, params = compile_scene(node, jnp.float64)
+    p = jnp.asarray([[3.0, 0.0, 0.0]])
+    grads = jax.grad(lambda pp: jnp.sum(sdf_vec(pp, p)))(params)
+    # Second sphere is closer (d = 1.0 < 2.5): all gradient goes to it.
+    assert np.asarray(grads["c0"]["radius"]) == 0.0
+    assert np.asarray(grads["c1"]["radius"]) == -1.0
