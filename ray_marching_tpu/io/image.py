@@ -1,0 +1,63 @@
+"""Dependency-free PNG writing.
+
+The display path of this framework: device → host (``jax.device_get``) →
+PNG bytes. Replaces the reference's CUDA↔OpenGL zero-copy window
+(torchwindow/, no TPU analogue — SURVEY.md §2.6) for headless rendering;
+the interactive viewer (ray_marching_tpu.viewer) streams these frames.
+
+Pure numpy + zlib: no PIL/torchvision dependency.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(image: np.ndarray) -> bytes:
+    """Encode an (H, W, {1,3,4}) uint8 or float[0,1] array as PNG bytes."""
+    image = np.asarray(image)
+    if image.dtype != np.uint8:
+        image = (np.clip(np.nan_to_num(image, nan=0.0), 0.0, 1.0) * 255.0 + 0.5).astype(
+            np.uint8
+        )
+    if image.ndim == 2:
+        image = image[:, :, None]
+    h, w, c = image.shape
+    colour_type = {1: 0, 3: 2, 4: 6}[c]
+    header = struct.pack(">IIBBBBB", w, h, 8, colour_type, 0, 0, 0)
+    # Filter byte 0 (None) per scanline.
+    raw = b"".join(b"\x00" + image[row].tobytes() for row in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", header)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def write_png(path, image) -> Path:
+    """Write an image array (jax or numpy, (H,W,C) or (N,H,W,C)) to PNG.
+
+    A leading camera axis is averaged away, mirroring the reference app's
+    ``images.mean(dim=0)`` display reduction (main.py:78-84).
+    """
+    image = np.asarray(image)
+    if image.ndim == 4:
+        image = image.mean(axis=0)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(encode_png(image))
+    return path

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ray_marching_tpu import quat
+from ray_marching_tpu.utils import clamp
 
 _GAMMA = 1.0 / 2.33
 _CMAP_PATH = Path(__file__).resolve().parent.parent / "data" / "cyclic_cmap.npy"
@@ -60,7 +61,7 @@ def _global_reduce(x, reduce_fn, pmap_fn, axis_names):
 
 def lambertian(ray_directions, surface_normals):
     """``clamp(−⟨v, N⟩, 0, 1)`` (shader.py:12-20) → 1 channel."""
-    return jnp.clip(
+    return clamp(
         -jnp.sum(ray_directions * surface_normals, axis=-1, keepdims=True), 0.0, 1.0
     )
 
@@ -69,7 +70,7 @@ def distance(px_coords, surface_coords, axis_names=()):
     """Log travel distance, globally min-max normalized, gamma-corrected
     (shader.py:23-38) → 1 channel."""
     log_dists = jnp.log(
-        jnp.clip(
+        clamp(
             jnp.linalg.norm(px_coords - surface_coords, axis=-1, keepdims=True),
             1e-2,
         )
@@ -81,7 +82,7 @@ def distance(px_coords, surface_coords, axis_names=()):
 
 def proximity(surface_distances, axis_names=()):
     """Same normalization on terminal SDF values (shader.py:41-55) → 1ch."""
-    log_dists = jnp.log(jnp.clip(surface_distances, 1e-2))
+    log_dists = jnp.log(clamp(surface_distances, 1e-2))
     lo = _global_reduce(log_dists, jnp.min, jax_pmin, axis_names)
     hi = _global_reduce(log_dists, jnp.max, jax_pmax, axis_names)
     return ((log_dists - lo) / (hi - lo)) ** _GAMMA
@@ -101,7 +102,7 @@ def vignette(ray_directions, pixel_frames):
 
 def normal(surface_normals):
     """RGB = |N| clamped (shader.py:69-74) → 3 channels."""
-    return jnp.clip(jnp.abs(surface_normals), 0.0, 1.0)
+    return clamp(jnp.abs(surface_normals), 0.0, 1.0)
 
 
 def laplacian(surface_laplacian, axis_names=()):
@@ -109,7 +110,7 @@ def laplacian(surface_laplacian, axis_names=()):
     (shader.py:77-89) → 1 channel."""
     hi = _global_reduce(jnp.abs(surface_laplacian), jnp.max, jax_pmax, axis_names)
     x = surface_laplacian / hi
-    return jnp.clip((1.0 - x) / 2.0, 0.0, 1.0) ** _GAMMA
+    return clamp((1.0 - x) / 2.0, 0.0, 1.0) ** _GAMMA
 
 
 def angle_colouring(real_part, imag_part, cyclic_cmap, degree):

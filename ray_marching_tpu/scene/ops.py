@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ray_marching_tpu import quat
+from ray_marching_tpu.utils import vmin
 
 
 def affine_inverse_query(orientation, translation, x, y, z):
@@ -53,14 +54,14 @@ def smooth_union(blend_k, distances):
 def union(distances):
     """Hard min over children.
 
-    Note on gradient ties: torch's ``.min(dim)`` routes the cotangent to the
-    first minimal child; JAX's ``minimum`` chain routes ties to the earlier
-    operand as well (``d/da min(a,b)`` selects ``a`` on ``a == b``), so the
-    two agree everywhere including measure-zero tie sets.
+    Uses a select-based min (:func:`ray_marching_tpu.utils.vmin`) so the
+    backward pass routes the cotangent only to the winning child (first
+    child on ties), exactly like torch's ``stack(...).min(dim=-2)`` — in
+    particular a NaN cotangent never leaks into losing children.
     """
     out = distances[0]
     for d in distances[1:]:
-        out = jnp.minimum(out, d)
+        out = vmin(out, d)
     return out
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ray_marching_tpu.utils import clamp, vmax
+
 
 def sphere(params, x, y, z):
     """``|p| - radius``. Params: ``radius`` (scalar)."""
@@ -39,7 +41,7 @@ def box(params, x, y, z):
     qx = jnp.abs(x) - h[0]
     qy = jnp.abs(y) - h[1]
     qz = jnp.abs(z) - h[2]
-    q_max = jnp.maximum(qx, jnp.maximum(qy, qz))
+    q_max = vmax(vmax(qx, qy), qz)
     zero = jnp.zeros((), dtype=qx.dtype)
     rx = jnp.where(qx > 0, qx, zero)
     ry = jnp.where(qy > 0, qy, zero)
@@ -65,7 +67,7 @@ def line(params, x, y, z):
     abx, aby, abz = e[0] - s[0], e[1] - s[1], e[2] - s[2]
     length2 = abx * abx + aby * aby + abz * abz
     apx, apy, apz = x - s[0], y - s[1], z - s[2]
-    t = jnp.clip((apx * abx + apy * aby + apz * abz) / length2, 0.0, 1.0)
+    t = clamp((apx * abx + apy * aby + apz * abz) / length2, 0.0, 1.0)
     dx = t * abx - apx
     dy = t * aby - apy
     dz = t * abz - apz
