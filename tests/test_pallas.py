@@ -1,0 +1,126 @@
+"""Pallas marching kernel: interpret-mode parity with the scan marcher.
+
+On-device (Mosaic-compiled) parity is exercised by bench.py and was verified
+bitwise-identical on TPU v5e; these tests run the same kernel through the
+Pallas interpreter on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_marching_tpu.ops.pallas_march import (
+    pallas_march,
+    pallas_march_with_distance,
+)
+from ray_marching_tpu.render.march import march
+from ray_marching_tpu.scene import registry
+from ray_marching_tpu.scene.graph import compile_scene, param_paths
+
+
+def setup(scene="test_scene2", dtype=jnp.float64, shape=(1, 24, 40)):
+    sdf_vec, sdf_c, params = compile_scene(registry.make_scene(scene), dtype)
+    rng = np.random.default_rng(0)
+    p0 = jnp.asarray(rng.uniform(-1, 1, shape + (3,)), dtype)
+    v = rng.standard_normal(shape + (3,))
+    v = jnp.asarray(v / np.linalg.norm(v, axis=-1, keepdims=True), dtype)
+    return sdf_vec, sdf_c, params, p0, v
+
+
+def test_forward_matches_scan_f64():
+    sdf_vec, sdf_c, params, p0, v = setup()
+    want = np.asarray(march(sdf_vec, params, p0, v, 16))
+    got, dist = pallas_march_with_distance(sdf_c, params, p0, v, 16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(dist), np.asarray(sdf_vec(params, got)), rtol=1e-12, atol=1e-14
+    )
+
+
+def test_forward_matches_scan_smooth_union():
+    sdf_vec, sdf_c, params, p0, v = setup("test_scene")
+    want = np.asarray(march(sdf_vec, params, p0, v, 12))
+    got = pallas_march(sdf_c, params, p0, v, 12, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-11, atol=1e-12)
+
+
+def camera_like_setup(scene="composite", dtype=jnp.float64, shape=(1, 24, 40)):
+    """Rays from a plane outside the scene pointing inward — the geometry a
+    camera produces, free of the interior knife-edge rays where gradient
+    magnitudes blow up and remat reassociation flips chaos into NaN."""
+    sdf_vec, sdf_c, params = compile_scene(registry.make_scene(scene), dtype)
+    rng = np.random.default_rng(3)
+    p0 = np.zeros(shape + (3,))
+    p0[..., 0] = rng.uniform(-0.8, 0.8, shape)
+    p0[..., 1] = rng.uniform(-0.8, 0.8, shape)
+    p0[..., 2] = -3.0
+    v = np.zeros(shape + (3,))
+    v[..., 2] = 1.0
+    return sdf_vec, sdf_c, params, jnp.asarray(p0, dtype), jnp.asarray(v, dtype)
+
+
+def test_gradients_match_scan():
+    sdf_vec, sdf_c, params, p0, v = camera_like_setup()
+
+    def loss_pallas(params):
+        pos, dist = pallas_march_with_distance(
+            sdf_c, params, p0, v, 24, interpret=True
+        )
+        return jnp.sum(pos**2) + jnp.sum(dist)
+
+    def loss_scan(params):
+        pos = march(sdf_vec, params, p0, v, 24)
+        return jnp.sum(pos**2) + jnp.sum(sdf_vec(params, pos))
+
+    g1 = param_paths(jax.grad(loss_pallas)(params))
+    g2 = param_paths(jax.grad(loss_scan)(params))
+    assert set(g1) == set(g2)
+    for k in g2:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-8, atol=1e-12, err_msg=k
+        )
+
+
+def test_early_exit_stays_within_tau():
+    sdf_vec, sdf_c, params, p0, v = setup()
+    exact = pallas_march(sdf_c, params, p0, v, 32, interpret=True)
+    masked = pallas_march(sdf_c, params, p0, v, 32, tau=1e-6, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(masked), np.asarray(exact), atol=1e-4
+    )
+
+
+def test_odd_ray_counts_pad_correctly():
+    # 7*9 = 63 rays — far from any tile multiple.
+    sdf_vec, sdf_c, params, p0, v = setup(shape=(7, 9))
+    want = np.asarray(march(sdf_vec, params, p0, v, 8))
+    got = pallas_march(sdf_c, params, p0, v, 8, interpret=True)
+    assert got.shape == (7, 9, 3)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-13)
+
+
+def test_pipeline_use_pallas_flag():
+    from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+
+    px = 3.45e-6
+    cfg = RenderConfig(
+        px_width=48, px_height=32,
+        focal_length=px * 32, sensor_width=px * 48, sensor_height=px * 32,
+        marching_steps=8, use_pallas=True,
+    )
+    import ray_marching_tpu.ops.pallas_march as pm
+    # Route the pipeline's pallas path through the interpreter on CPU.
+    orig = pm.pallas_march
+    pm.pallas_march = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        r = Renderer(registry.make_scene("test_scene2"), cfg, dtype=jnp.float32)
+        q, t = r.default_pose()
+        img = r.render(r.init_params, q, t, mode=0, degree=1)
+        cfg2 = RenderConfig(**{**cfg.__dict__, "use_pallas": False})
+        r2 = Renderer(registry.make_scene("test_scene2"), cfg2, dtype=jnp.float32)
+        want = r2.render(r2.init_params, q, t, mode=0, degree=1)
+        np.testing.assert_allclose(
+            np.asarray(img), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+    finally:
+        pm.pallas_march = orig
