@@ -1,0 +1,77 @@
+"""Implicit-function-theorem backward for the sphere-tracing fixed point.
+
+At convergence the marched point satisfies ``p* = p0 + t*·v`` with
+``f(θ, p*) = 0``. Differentiating the hit condition gives
+
+    ∂t*/∂θ  = −f_θ / (v·∇f),    ∂t*/∂p0 = −∇f / (v·∇f),
+    ∂t*/∂v  = −t*·∇f / (v·∇f),
+
+so the backward pass needs **one** SDF VJP at the endpoint instead of
+backprop through the whole unrolled march — O(1) instead of O(steps) in
+both time and memory (SURVEY.md §7 backward mode 3; the unrolled/scan
+modes in :mod:`ray_marching_tpu.render.march` remain the exact-parity
+default).
+
+Caveats handled here:
+* the denominator ``v·∇f`` vanishes for grazing rays — clamped away from 0;
+* rays that never converged (``|f(p*)|`` large) have no fixed point — their
+  parameter gradients are masked to zero (``hit_threshold``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ray_marching_tpu.render import march as march_mod
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7))
+def march_implicit(sdf_vec, params, ray_positions, ray_directions,
+                   steps: int, tau: float = 0.0, hit_threshold: float = 0.05,
+                   denom_eps: float = 1e-6):
+    """March with IFT gradients. Same forward as :func:`march.march`."""
+    return march_mod.march(
+        sdf_vec, params, ray_positions, ray_directions, steps, tau=tau
+    )
+
+
+def _fwd(sdf_vec, params, ray_positions, ray_directions, steps, tau,
+         hit_threshold, denom_eps):
+    p_star = march_mod.march(
+        sdf_vec, params, ray_positions, ray_directions, steps, tau=tau
+    )
+    return p_star, (params, p_star, ray_positions, ray_directions)
+
+
+def _bwd(sdf_vec, steps, tau, hit_threshold, denom_eps, residuals, g):
+    params, p_star, p0, v = residuals
+
+    # One joint VJP of f at the endpoint gives both ∇f (via position
+    # cotangent) and the params cotangent for any scalar weight field.
+    f_val, pullback = jax.vjp(lambda th, p: sdf_vec(th, p), params, p_star)
+    ones = jnp.ones_like(f_val)
+    _, grad_f = jax.vjp(lambda p: sdf_vec(params, p), p_star)
+    (nabla_f,) = grad_f(ones)
+
+    denom = jnp.sum(v * nabla_f, axis=-1, keepdims=True)
+    safe = jnp.where(jnp.abs(denom) < denom_eps,
+                     jnp.where(denom < 0, -denom_eps, denom_eps), denom)
+    hit = jnp.abs(f_val) < hit_threshold
+
+    g_dot_v = jnp.sum(g * v, axis=-1, keepdims=True)
+    w = jnp.where(hit, -g_dot_v / safe, jnp.zeros_like(g_dot_v))
+
+    params_cot, _ = pullback(w)
+
+    # Signed travel distance (rays can march backwards out of negative-SDF
+    # starts): project the displacement onto the unit direction.
+    t_star = jnp.sum((p_star - p0) * v, axis=-1, keepdims=True)
+    p0_cot = g + nabla_f * w
+    v_cot = t_star * (g + nabla_f * w)
+    return params_cot, p0_cot, v_cot
+
+
+march_implicit.defvjp(_fwd, _bwd)

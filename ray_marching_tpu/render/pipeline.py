@@ -48,6 +48,7 @@ class RenderConfig:
     normals_eps: float = 5e-2
     tau: float = 0.0
     remat: bool = False
+    backward: str = "unroll"  # 'unroll' (exact parity) | 'implicit' (IFT, fast)
     reflection_bounces: int = 0
     use_autodiff_normals: bool = False
     use_pallas: bool = False
@@ -171,6 +172,12 @@ class Renderer:
 
             marcher = lambda p, v: pallas_march(
                 self.sdf_c, params, p, v, steps, tau=cfg.tau
+            )
+        elif cfg.backward == "implicit":
+            from ray_marching_tpu.render.implicit import march_implicit
+
+            marcher = lambda p, v: march_implicit(
+                self.sdf_vec, params, p, v, steps, cfg.tau
             )
         else:
             marcher = lambda p, v: march_mod.march(
