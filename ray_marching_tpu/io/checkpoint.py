@@ -1,0 +1,55 @@
+"""Pytree checkpointing for scene parameters and optimizer state.
+
+Dependency-light: pytrees are flattened to leaves stored in a single .npz
+plus the key-path layout; restore rebuilds against a template pytree (the
+standard JAX pattern — the template supplies structure, the file supplies
+leaves). Used by the inverse-rendering loop for resumable optimization
+(SURVEY.md §5 checkpoint/resume; the reference has none).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def _leaf_paths(tree):
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    return {jax.tree_util.keystr(path): leaf for path, leaf in leaves}
+
+
+def save_pytree(path, tree, extra: dict | None = None) -> Path:
+    """Save a pytree's leaves (and optional scalar metadata) to ``path``."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {f"leaf::{k}": np.asarray(v) for k, v in _leaf_paths(tree).items()}
+    for k, v in (extra or {}).items():
+        payload[f"extra::{k}"] = np.asarray(v)
+    np.savez(path, **payload)
+    return path
+
+
+def load_pytree(path, template, with_extra: bool = False):
+    """Restore a pytree saved by :func:`save_pytree` against ``template``
+    (same structure; leaf dtypes follow the template)."""
+    data = np.load(path)
+    stored = {k[len("leaf::"):]: data[k] for k in data.files if k.startswith("leaf::")}
+    paths = jax.tree_util.tree_leaves_with_path(template)
+    missing = [jax.tree_util.keystr(p) for p, _ in paths if jax.tree_util.keystr(p) not in stored]
+    if missing:
+        raise KeyError(f"checkpoint missing leaves: {missing}")
+    leaves = [
+        np.asarray(stored[jax.tree_util.keystr(p)], dtype=np.asarray(leaf).dtype)
+        for p, leaf in paths
+    ]
+    tree = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves
+    )
+    if with_extra:
+        extra = {
+            k[len("extra::"):]: data[k] for k in data.files if k.startswith("extra::")
+        }
+        return tree, extra
+    return tree
