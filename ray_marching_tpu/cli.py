@@ -1,0 +1,304 @@
+"""Command-line entry point.
+
+Replaces the reference's edit-the-source configuration (hardcoded constants
+in main.py:20-27, scene chosen by editing imports — SURVEY.md §5 config
+system) with subcommands over the scene registry:
+
+  python -m ray_marching_tpu.cli render   --scene test_scene2 -o out.png
+  python -m ray_marching_tpu.cli gallery  --scene test_scene2 -o gallery/
+  python -m ray_marching_tpu.cli optimize --scene test_scene2 --target t.png
+  python -m ray_marching_tpu.cli interactive --frames 100 -o frames/
+  python -m ray_marching_tpu.cli bench
+  python -m ray_marching_tpu.cli profile  -o /tmp/trace
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_render_args(p):
+    p.add_argument("--scene", default="test_scene2")
+    p.add_argument("--width", type=int, default=1440)
+    p.add_argument("--height", type=int, default=900)
+    p.add_argument("--px-size", type=float, default=3.45e-6)
+    p.add_argument("--steps", type=int, default=32)
+    p.add_argument("--normals-eps", type=float, default=5e-2)
+    p.add_argument("--dtype", default="float32",
+                   choices=["bfloat16", "float16", "float32", "float64"])
+    p.add_argument("--degree", type=int, default=2)
+    p.add_argument("--pose", default="0,0,1,0/0,0.2,2.5",
+                   help="qw,qx,qy,qz/x,y,z (default looks at the origin)")
+    p.add_argument("--tau", type=float, default=0.0,
+                   help="early-exit threshold (0 = reference-exact)")
+    p.add_argument("--bounces", type=int, default=0,
+                   help="reflection bounces")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas marching kernel")
+    p.add_argument("--backward", default="unroll",
+                   choices=["unroll", "implicit"])
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _build_renderer(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+    from ray_marching_tpu.scene import registry
+
+    cfg = RenderConfig(
+        px_width=args.width,
+        px_height=args.height,
+        focal_length=args.px_size * args.height,
+        sensor_width=args.px_size * args.width,
+        sensor_height=args.px_size * args.height,
+        marching_steps=args.steps,
+        normals_eps=args.normals_eps,
+        tau=args.tau,
+        reflection_bounces=args.bounces,
+        use_pallas=args.pallas,
+        backward=args.backward,
+    )
+    scene = registry.make_scene(args.scene)
+    return Renderer(scene, cfg, dtype=getattr(jnp, args.dtype))
+
+
+def _parse_pose(spec, dtype):
+    import jax.numpy as jnp
+
+    q_str, t_str = spec.split("/")
+    q = np.asarray([float(v) for v in q_str.split(",")], np.float64)
+    q = q / np.linalg.norm(q)
+    t = [float(v) for v in t_str.split(",")]
+    return jnp.asarray([q], dtype), jnp.asarray([t], dtype)
+
+
+def cmd_render(args):
+    from ray_marching_tpu.io.image import write_png
+    from ray_marching_tpu.render.shaders import MODES
+
+    renderer = _build_renderer(args)
+    q, t = _parse_pose(args.pose, renderer.dtype)
+    mode = MODES.index(args.mode) if args.mode in MODES else int(args.mode)
+    image = renderer.jitted(mode=mode, degree=args.degree)(
+        renderer.init_params, q, t
+    )
+    path = write_png(args.out, image)
+    print(f"wrote {path}")
+
+
+def cmd_gallery(args):
+    from pathlib import Path
+
+    from ray_marching_tpu.io.image import write_png
+    from ray_marching_tpu.render.shaders import MODES
+
+    renderer = _build_renderer(args)
+    q, t = _parse_pose(args.pose, renderer.dtype)
+    import jax
+
+    fn = jax.jit(
+        lambda p, q, t: renderer.render_all_modes(p, q, t, degree=args.degree)
+    )
+    images = fn(renderer.init_params, q, t)
+    for name in MODES:
+        path = write_png(Path(args.out) / f"{name}.png", images[name])
+        print(f"wrote {path}")
+
+
+def cmd_optimize(args):
+    import jax.numpy as jnp
+
+    from ray_marching_tpu.optim.inverse import InverseConfig, optimize
+
+    renderer = _build_renderer(args)
+    q, t = _parse_pose(args.pose, renderer.dtype)
+    if args.target == "selftest":
+        # Built-in demo: render the target from +20%-perturbed trainable
+        # leaves, then recover them from the unperturbed init.
+        from ray_marching_tpu.scene.graph import tree_map_with_path
+
+        wanted = args.trainable or []
+        true_params = tree_map_with_path(
+            lambda path, leaf: leaf * 1.2
+            if any(tp in path for tp in wanted) or not wanted
+            else leaf,
+            renderer.init_params,
+        )
+        target = renderer.render(true_params, q, t, mode=args.optimize_mode,
+                                 degree=args.degree)
+    else:
+        target = jnp.asarray(_read_png(args.target)[None], renderer.dtype)
+
+    cfg = InverseConfig(
+        learning_rate=args.lr,
+        steps=args.opt_steps,
+        mode=args.optimize_mode,
+        degree=args.degree,
+        trainable=args.trainable,
+        optimize_pose=args.optimize_pose,
+        checkpoint_dir=args.checkpoint_dir,
+        metrics_path=args.metrics,
+    )
+    out = optimize(renderer, target, q, t, cfg)
+    print(f"final loss: {out['losses'][-1]:.3e} after {out['steps_run']} steps")
+    if args.save_params:
+        from ray_marching_tpu.io.checkpoint import save_pytree
+
+        save_pytree(args.save_params, out["params"])
+        print(f"wrote {args.save_params}")
+
+
+def _read_png(path):
+    """Minimal PNG reader (8-bit RGB/RGBA/grey, no interlace)."""
+    import struct
+    import zlib
+
+    data = open(path, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, idat, meta = 8, b"", None
+    while pos < len(data):
+        (length,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            assert depth == 8 and interlace == 0, "unsupported PNG"
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+            meta = (w, h, channels)
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    w, h, c = meta
+    raw = zlib.decompress(idat)
+    stride = w * c
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    pos = 0
+    for row in range(h):
+        filt = raw[pos]
+        line = np.frombuffer(raw[pos + 1:pos + 1 + stride], np.uint8).copy()
+        pos += 1 + stride
+        if filt == 1:  # Sub
+            for i in range(c, stride):
+                line[i] = (line[i] + line[i - c]) & 0xFF
+        elif filt == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = line[i - c] if i >= c else 0
+                line[i] = (line[i] + ((int(left) + int(prev[i])) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pr = a if abs(p - a) <= abs(p - b) and abs(p - a) <= abs(p - cc) \
+                    else b if abs(p - b) <= abs(p - cc) else cc
+                line[i] = (line[i] + pr) & 0xFF
+        out[row] = line
+        prev = line
+    img = out.reshape(h, w, c).astype(np.float32) / 255.0
+    return img[:, :, :3] if c >= 3 else np.repeat(img, 3, axis=-1)
+
+
+def cmd_interactive(args):
+    from ray_marching_tpu.viewer import PNGSink, PynputInput, orbit_script, run_viewer
+
+    renderer = _build_renderer(args)
+    if args.orbit:
+        source = orbit_script(args.frames)
+    else:
+        try:
+            source = PynputInput()
+        except Exception as exc:
+            print(f"pynput unavailable ({exc}); falling back to --orbit")
+            source = orbit_script(args.frames)
+    sink = PNGSink(args.out, every=args.save_every)
+    camera, session, frames = run_viewer(
+        renderer, source, sink, max_frames=args.frames
+    )
+    print(f"rendered {frames} frames to {args.out}")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def cmd_profile(args):
+    import jax
+
+    renderer = _build_renderer(args)
+    q, t = _parse_pose(args.pose, renderer.dtype)
+    fn = renderer.jitted(mode=0, degree=args.degree)
+    fn(renderer.init_params, q, t)  # compile outside the trace
+    with jax.profiler.trace(args.out):
+        for _ in range(args.frames):
+            out = fn(renderer.init_params, q, t)
+        jax.block_until_ready(out)
+    print(f"wrote TensorBoard/XPlane trace to {args.out}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="ray_marching_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render one frame to PNG")
+    _add_render_args(p)
+    p.add_argument("--mode", default="lambertian",
+                   help="shader name or index (0..7)")
+    p.add_argument("-o", "--out", default="render.png")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("gallery", help="render all 8 shader modes")
+    _add_render_args(p)
+    p.add_argument("-o", "--out", default="gallery_out")
+    p.set_defaults(fn=cmd_gallery)
+
+    p = sub.add_parser("optimize", help="inverse rendering against a target")
+    _add_render_args(p)
+    p.add_argument("--target", default="selftest",
+                   help="target PNG path, or 'selftest'")
+    p.add_argument("--optimize-mode", type=int, default=0)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--opt-steps", type=int, default=100)
+    p.add_argument("--trainable", nargs="*", default=None)
+    p.add_argument("--optimize-pose", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--metrics", default=None)
+    p.add_argument("--save-params", default=None)
+    p.set_defaults(fn=cmd_optimize)
+
+    p = sub.add_parser("interactive", help="interactive / orbit frame loop")
+    _add_render_args(p)
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--orbit", action="store_true",
+                   help="scripted orbit instead of mouse/keyboard")
+    p.add_argument("--save-every", type=int, default=1)
+    p.add_argument("-o", "--out", default="frames")
+    p.set_defaults(fn=cmd_interactive)
+
+    p = sub.add_parser("bench", help="run the rays/s benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("profile", help="write a jax.profiler trace")
+    _add_render_args(p)
+    p.add_argument("--frames", type=int, default=10)
+    p.add_argument("-o", "--out", default="/tmp/rm_tpu_trace")
+    p.set_defaults(fn=cmd_profile)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Interactive frame loop: input → pose integration → render → sink.
+
+The TPU-native replacement for the reference's main loop + CUDA↔OpenGL
+window (main.py:19-88, torchwindow/): frames come back device→host and go
+to a pluggable sink (PNG stream by default; no zero-copy display path
+exists on TPU — SURVEY.md §2.6). Input comes from a pluggable source: the
+scripted source for tests/headless use, or a pynput-backed source when a
+real keyboard/mouse is present — with a single-writer snapshot handoff
+instead of the reference's cross-thread mutable state.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Iterable, Optional
+
+import jax
+
+from ray_marching_tpu.control import (
+    CameraState,
+    ControlConfig,
+    InputSnapshot,
+    SessionState,
+    apply_input,
+)
+from ray_marching_tpu.io.image import write_png
+
+
+class ScriptedInput:
+    """Replays a fixed sequence of snapshots, then quits."""
+
+    def __init__(self, snapshots: Iterable[InputSnapshot]):
+        self._it = iter(snapshots)
+
+    def poll(self) -> InputSnapshot:
+        try:
+            return next(self._it)
+        except StopIteration:
+            return InputSnapshot(quit=True)
+
+    def close(self):
+        pass
+
+
+class PynputInput:
+    """Mouse/keyboard listener (requires pynput and a display server).
+
+    Listener callbacks write to private fields; :meth:`poll` snapshots them
+    — the render loop never reads mutating state mid-frame.
+    """
+
+    def __init__(self, screen_size=(1920, 1080)):
+        from pynput import keyboard, mouse  # noqa: deferred optional dep
+
+        self._mouse_pos = (screen_size[0] // 2, screen_size[1] // 2)
+        self._centre = (screen_size[0] // 2, screen_size[1] // 2)
+        self._pressed = set()
+        self._scroll = 0
+        self._quit = False
+        self._save = False
+
+        def on_move(x, y):
+            self._mouse_pos = (x, y)
+
+        def on_scroll(x, y, dx, dy):
+            self._scroll += 1 if dy > 0 else -1 if dy < 0 else 0
+
+        def on_press(key):
+            char = getattr(key, "char", None)
+            if char:
+                self._pressed.add(char)
+                if char == "q":
+                    self._quit = True
+                if char == "p":
+                    self._save = True
+
+        def on_release(key):
+            char = getattr(key, "char", None)
+            if char:
+                self._pressed.discard(char)
+
+        self._listeners = [
+            mouse.Listener(on_move=on_move, on_scroll=on_scroll),
+            keyboard.Listener(on_press=on_press, on_release=on_release),
+        ]
+        for listener in self._listeners:
+            listener.start()
+
+    def poll(self) -> InputSnapshot:
+        scroll, self._scroll = self._scroll, 0
+        save, self._save = self._save, False
+        return InputSnapshot(
+            mouse_ndc=(
+                (self._mouse_pos[0] - self._centre[0]) / self._centre[0],
+                (self._mouse_pos[1] - self._centre[1]) / self._centre[1],
+            ),
+            pressed=frozenset(self._pressed),
+            scroll=scroll,
+            quit=self._quit,
+            save_frame=save,
+        )
+
+    def close(self):
+        for listener in self._listeners:
+            listener.stop()
+
+
+def orbit_script(frames: int, yaw_per_frame: float = 0.02):
+    """A scripted input that slowly orbits: useful for demos and smoke runs."""
+    return ScriptedInput(
+        [InputSnapshot(mouse_ndc=(yaw_per_frame, 0.0)) for _ in range(frames)]
+    )
+
+
+@dataclass
+class PNGSink:
+    """Writes every Nth frame (and every save-requested frame) as PNG."""
+
+    directory: str
+    every: int = 1
+
+    def __call__(self, frame_idx, image, session):
+        if session.save_frame or frame_idx % self.every == 0:
+            write_png(Path(self.directory) / f"frame_{frame_idx:05d}.png", image)
+
+
+def run_viewer(renderer, input_source, sink: Callable, *,
+               camera: Optional[CameraState] = None,
+               session: Optional[SessionState] = None,
+               control: ControlConfig = ControlConfig(),
+               max_frames: Optional[int] = None,
+               print_fps: bool = True):
+    """The frame loop (reference main.py:52-88). Returns final states."""
+    camera = camera or CameraState.initial(dtype=renderer.dtype)
+    session = session or SessionState(marching_steps=renderer.config.marching_steps)
+    jitted_cache = {}
+    frame_idx = 0
+    old_time = time.perf_counter()
+    while session.running and (max_frames is None or frame_idx < max_frames):
+        snap = input_source.poll()
+        session = session.step(snap)
+        if not session.running:
+            break
+        camera = apply_input(camera, snap, control)
+        key = (session.mode % 8, session.marching_steps, session.degree)
+        if key not in jitted_cache:
+            jitted_cache[key] = renderer.jitted(
+                mode=key[0], marching_steps=key[1], degree=key[2]
+            )
+        image = jitted_cache[key](
+            renderer.init_params, camera.orientation, camera.position
+        )
+        image = jax.device_get(image)
+        sink(frame_idx, image, session)
+        new_time = time.perf_counter()
+        if print_fps:
+            print(f"{1.0 / (new_time - old_time):.2f} frames per second")
+        old_time = new_time
+        frame_idx += 1
+    input_source.close()
+    return camera, session, frame_idx
