@@ -1,0 +1,105 @@
+"""Scaling-efficiency benchmark (BASELINE config 5).
+
+Renders a 4K frame (forward+backward) with rays sharded over 1, 2, 4, …
+devices and reports rays/s and parallel efficiency vs the 1-device run.
+
+On real hardware run it on the full slice; on a dev box it exercises the
+same sharded program over the virtual CPU mesh:
+
+  JAX_PLATFORMS=cpu python bench_scaling.py --devices 8 --width 1024 --height 576
+
+Prints one JSON line per mesh size plus a summary line with the efficiency
+at the largest mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=None,
+                    help="max devices (default: all)")
+    ap.add_argument("--width", type=int, default=3840)
+    ap.add_argument("--height", type=int, default=2160)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        if args.devices:
+            jax.config.update("jax_num_cpu_devices", args.devices)
+
+    import jax.numpy as jnp
+    import optax
+
+    from ray_marching_tpu.parallel.sharding import make_mesh, make_train_step
+    from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+    from ray_marching_tpu.scene import registry
+
+    n_avail = len(jax.devices())
+    n_max = min(args.devices or n_avail, n_avail)
+    px = 3.45e-6
+    w, h = args.width, args.height
+    cfg = RenderConfig(
+        px_width=w, px_height=h,
+        focal_length=px * h, sensor_width=px * w, sensor_height=px * h,
+        marching_steps=args.steps, remat=True,
+    )
+    renderer = Renderer(registry.make_scene("test_scene2"), cfg, dtype=jnp.float32)
+    optimizer = optax.adam(1e-3)
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float32)
+    t = jnp.asarray([[0.0, 0.2, 2.5]], jnp.float32)
+    target = jnp.zeros((1, h, w, 3), jnp.float32)
+
+    sizes = []
+    n = 1
+    while n <= n_max:
+        sizes.append(n)
+        n *= 2
+    results = {}
+    for n in sizes:
+        mesh = make_mesh((n,), ("rows",), devices=jax.devices()[:n])
+        step = make_train_step(renderer, mesh, optimizer, mode=0, degree=2)
+        opt_state = optimizer.init(renderer.init_params)
+        params, opt_state, loss = step(renderer.init_params, opt_state, target, q, t)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            params, opt_state, loss = step(params, opt_state, target, q, t)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / args.iters
+        rays = w * h / dt
+        results[n] = rays
+        eff = rays / (results[1] * n)
+        print(json.dumps({
+            "metric": "scaling_rays_per_sec",
+            "devices": n,
+            "value": round(rays),
+            "unit": "rays/s",
+            "efficiency": round(eff, 3),
+        }))
+    n_big = sizes[-1]
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(results[n_big] / (results[1] * n_big), 3),
+        "unit": f"fraction at {n_big} devices",
+        "vs_baseline": round(results[n_big] / (results[1] * n_big) / 0.9, 3),
+    }
+    if jax.default_backend() == "cpu":
+        # Virtual CPU devices share physical cores: the 1-device run already
+        # saturates the host, so efficiency here validates only that the
+        # sharded program compiles and runs at every mesh size.
+        summary["note"] = "cpu-virtual mesh; efficiency not meaningful"
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
