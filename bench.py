@@ -56,7 +56,16 @@ def build_step(width, height, dtype_name="float32", use_pallas=False):
         if os.environ.get("BENCH_BACKWARD") == "implicit"
         else "unroll",
     )
-    r = Renderer(registry.make_scene("test_scene2"), cfg, dtype=dtype)
+    fast_ok = (
+        os.environ.get("BENCH_FAST", "1") == "1"
+        and os.environ.get("BENCH_BACKWARD", "remat") == "remat"
+    )
+    if fast_ok and not use_pallas:
+        from ray_marching_tpu.render.fast import FastRenderer
+
+        r = FastRenderer(registry.make_scene("test_scene2"), cfg, dtype=dtype)
+    else:
+        r = Renderer(registry.make_scene("test_scene2"), cfg, dtype=dtype)
     q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], dtype)
     t = jnp.asarray([[0.0, 0.2, 2.5]], dtype)
     target = jnp.zeros((1, height, width, 3), dtype)
@@ -89,7 +98,8 @@ def measure(width, height, iters, use_pallas=False):
 
 
 _CPU_CHILD = """
-import json, jax
+import json, os, jax
+os.environ['BENCH_FAST'] = '0'  # interpret-mode Pallas would handicap CPU
 jax.config.update('jax_platforms', 'cpu')
 import bench
 print(json.dumps({'cpu_rays_per_sec': bench.measure(480, 270, iters=3)}))

@@ -38,6 +38,9 @@ def _add_render_args(p):
                    help="reflection bounces")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas marching kernel")
+    p.add_argument("--fast", action="store_true",
+                   help="plane-native renderer with the fused march+normals "
+                        "mega-kernel (single camera)")
     p.add_argument("--backward", default="unroll",
                    choices=["unroll", "implicit"])
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -67,6 +70,10 @@ def _build_renderer(args):
         backward=args.backward,
     )
     scene = registry.make_scene(args.scene)
+    if getattr(args, "fast", False):
+        from ray_marching_tpu.render.fast import FastRenderer
+
+        return FastRenderer(scene, cfg, dtype=getattr(jnp, args.dtype))
     return Renderer(scene, cfg, dtype=getattr(jnp, args.dtype))
 
 

@@ -1,0 +1,203 @@
+"""Fused march + normals + Laplacian Pallas kernel ("mega-kernel").
+
+One kernel call performs, per VMEM-resident ray tile, everything between
+ray generation and shading (compare the modular path's separate XLA ops:
+march scan → terminal eval → 4-offset normals eval + centre eval,
+reference rendering/ray_marching.py:67-125):
+
+  1. the full sphere-tracing loop (``steps`` fused SDF evaluations);
+  2. the terminal signed distance (= the Laplacian centre eval, reused);
+  3. four tetrahedral offset evaluations → normals via the precomputed
+     3×3 inverse → L2 normalization;
+  4. the Laplacian ``(f(p) − mean(f(p + εvᵢ)))·6/ε²``.
+
+The scene SDF, the offsets, and the inverse matrix are all baked into the
+kernel at trace time; rays never leave VMEM between the march and the
+normal estimation. Used by the plane-native fast renderer
+(:mod:`ray_marching_tpu.render.fast`).
+
+Differentiation: custom VJP via a jnp plane-native recompute (checkpointed
+scan march + the same normals formulas), like
+:mod:`ray_marching_tpu.ops.pallas_march`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ray_marching_tpu.render.normals import make_offsets
+
+LANES = 128
+DEFAULT_ROWS_PER_TILE = 256
+
+
+def _normals_block(sdf_c, params, x, y, z, d_centre, offsets, inverse, eps):
+    """Componentwise tetrahedral normals + Laplacian at (x, y, z) planes.
+
+    ``offsets`` (4, 3) and ``inverse`` (3, 3) are python/numpy constants;
+    the 4 offset evaluations unroll at trace time.
+    """
+    f = [
+        sdf_c(params, x + offsets[i, 0], y + offsets[i, 1], z + offsets[i, 2])
+        for i in range(4)
+    ]
+    d1, d2, d3 = f[1] - f[0], f[2] - f[0], f[3] - f[0]
+    nx = inverse[0, 0] * d1 + inverse[0, 1] * d2 + inverse[0, 2] * d3
+    ny = inverse[1, 0] * d1 + inverse[1, 1] * d2 + inverse[1, 2] * d3
+    nz = inverse[2, 0] * d1 + inverse[2, 1] * d2 + inverse[2, 2] * d3
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    mean4 = (f[0] + f[1] + f[2] + f[3]) * 0.25
+    lap = (d_centre - mean4) * (6.0 / eps**2)
+    return nx / norm, ny / norm, nz / norm, lap
+
+
+def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
+                   params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
+                   valid_ref,
+                   ox_ref, oy_ref, oz_ref, od_ref,
+                   nx_ref, ny_ref, nz_ref, lap_ref):
+    params = unravel(params_ref[0, :])
+    x, y, z = px_ref[:], py_ref[:], pz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    valid = valid_ref[:] > 0.5
+
+    if tau == 0.0:
+
+        def body(_, carry):
+            x, y, z = carry
+            d = sdf_c(params, x, y, z)
+            return (
+                jnp.where(valid, x + d * dx, x),
+                jnp.where(valid, y + d * dy, y),
+                jnp.where(valid, z + d * dz, z),
+            )
+
+        x, y, z = lax.fori_loop(0, steps, body, (x, y, z))
+    else:
+
+        def cond(carry):
+            i, _, _, _, any_live = carry
+            return jnp.logical_and(i < steps, any_live)
+
+        def body(carry):
+            i, x, y, z, _ = carry
+            d = sdf_c(params, x, y, z)
+            live = jnp.logical_and(jnp.abs(d) >= tau, valid)
+            return (
+                i + 1,
+                jnp.where(live, x + d * dx, x),
+                jnp.where(live, y + d * dy, y),
+                jnp.where(live, z + d * dz, z),
+                jnp.any(live),
+            )
+
+        _, x, y, z, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), x, y, z, jnp.bool_(True))
+        )
+
+    zero = jnp.zeros((), x.dtype)
+    d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
+    nx, ny, nz, lap = _normals_block(
+        sdf_c, params, x, y, z, d_centre, offsets, inverse, eps
+    )
+    ox_ref[:] = x
+    oy_ref[:] = y
+    oz_ref[:] = z
+    od_ref[:] = d_centre
+    nx_ref[:] = jnp.where(valid, nx, zero)
+    ny_ref[:] = jnp.where(valid, ny, zero)
+    nz_ref[:] = jnp.where(valid, nz, zero)
+    lap_ref[:] = jnp.where(valid, lap, zero)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7))
+def fused_march_normals(sdf_c, unravel, flat_params, rays7, steps, tau,
+                        normals_eps, interpret):
+    """rays7 (7, rows, 128) → (8, rows, 128): x y z d nx ny nz lap."""
+    rows = rays7.shape[1]
+    rows_per_tile = min(DEFAULT_ROWS_PER_TILE, rows)
+    num_tiles = rows // rows_per_tile
+    dtype = rays7.dtype
+    offsets, inverse = make_offsets(normals_eps)
+    kernel = functools.partial(
+        _render_kernel, sdf_c, unravel, steps, tau, offsets, inverse,
+        normals_eps,
+    )
+    plane_spec = pl.BlockSpec(
+        (rows_per_tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    params_spec = pl.BlockSpec(
+        (1, flat_params.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((rows, LANES), dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[params_spec] + [plane_spec] * 7,
+        out_specs=[plane_spec] * 8,
+        out_shape=[out_shape] * 8,
+        interpret=interpret,
+    )(flat_params[None, :], *[rays7[i] for i in range(7)])
+    return jnp.stack(outs, axis=0)
+
+
+def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7):
+    """Plane-native jnp recompute of the kernel (for the backward pass)."""
+    params = unravel(flat_params)
+    px, py, pz, dx, dy, dz = (rays7[i] for i in range(6))
+    valid = rays7[6] > 0.5
+    offsets, inverse = make_offsets(normals_eps)
+
+    def step(carry, _):
+        x, y, z = carry
+        d = sdf_c(params, x, y, z)
+        if tau != 0.0:
+            live = jnp.logical_and(jnp.abs(d) >= tau, valid)
+        else:
+            live = valid
+        return (
+            jnp.where(live, x + d * dx, x),
+            jnp.where(live, y + d * dy, y),
+            jnp.where(live, z + d * dz, z),
+        ), None
+
+    (x, y, z), _ = lax.scan(
+        jax.checkpoint(step), (px, py, pz), None, length=steps
+    )
+    zero = jnp.zeros((), x.dtype)
+    d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
+    nx, ny, nz, lap = _normals_block(
+        sdf_c, params, x, y, z, d_centre, offsets, inverse, normals_eps
+    )
+    nx = jnp.where(valid, nx, zero)
+    ny = jnp.where(valid, ny, zero)
+    nz = jnp.where(valid, nz, zero)
+    lap = jnp.where(valid, lap, zero)
+    return jnp.stack([x, y, z, d_centre, nx, ny, nz, lap], axis=0)
+
+
+def _fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+         interpret):
+    out = fused_march_normals(
+        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
+    )
+    return out, (flat_params, rays7)
+
+
+def _bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
+    flat_params, rays7 = residuals
+    _, vjp = jax.vjp(
+        functools.partial(_reference_fn, sdf_c, unravel, steps, tau, normals_eps),
+        flat_params, rays7,
+    )
+    return vjp(g)
+
+
+fused_march_normals.defvjp(_fwd, _bwd)

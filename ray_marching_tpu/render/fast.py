@@ -1,0 +1,224 @@
+"""Plane-native (structure-of-arrays) fast renderer.
+
+The modular pipeline (:mod:`ray_marching_tpu.render.pipeline`) keeps rays
+as ``(N, H, W, 3)`` arrays — semantically faithful to the reference, but a
+last-dim-3 layout is hostile to TPU tiling (lane dim should be 128). This
+renderer keeps **everything** in SoA coordinate planes of shape
+``(rows, 128)`` from ray generation to shading:
+
+  camera planes → fused Pallas mega-kernel (march + terminal distance +
+  tetrahedral normals + Laplacian, all VMEM-resident;
+  :mod:`ray_marching_tpu.ops.pallas_render`) → componentwise shaders →
+  one final reshape to (N, H, W, 3).
+
+No AoS↔SoA conversion ever touches the hot loop. Pixel semantics are
+identical to the modular path (same formulas, same reference quirks);
+parity is tested in tests/test_fast.py. Differentiable end-to-end via the
+mega-kernel's custom VJP.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+
+from ray_marching_tpu import quat
+from ray_marching_tpu.camera import CameraConfig, _pixel_center_grid
+from ray_marching_tpu.ops.pallas_render import fused_march_normals
+from ray_marching_tpu.render import shaders
+from ray_marching_tpu.render.pipeline import RenderConfig
+from ray_marching_tpu.scene.graph import Node, compile_scene
+from ray_marching_tpu.utils import clamp
+
+LANES = 128
+ROWS_PER_TILE = 256
+
+
+def _to_planes(flat: np.ndarray, rows: int) -> np.ndarray:
+    out = np.zeros((rows, LANES), flat.dtype)
+    out.reshape(-1)[: flat.shape[0]] = flat
+    return out
+
+
+class FastRenderer:
+    """Drop-in fast forward/backward renderer (single camera)."""
+
+    def __init__(self, scene: Node, config: RenderConfig, dtype=jnp.float32,
+                 grid_dtype=np.float32, interpret: Optional[bool] = None):
+        if interpret is None:
+            # Mosaic kernels only compile for TPU; interpret elsewhere.
+            interpret = jax.default_backend() == "cpu"
+        if config.num_cameras != 1:
+            raise ValueError("FastRenderer supports num_cameras == 1")
+        if config.reflection_bounces:
+            raise ValueError("use the modular Renderer for reflection bounces")
+        self.config = config
+        self.dtype = dtype
+        self.interpret = interpret
+        self.scene = scene
+        self.sdf_vec, self.sdf_c, self.init_params = compile_scene(scene, dtype)
+        self.cyclic_cmap = shaders.load_cyclic_cmap(dtype)
+
+        h, w = config.px_height, config.px_width
+        self.total = h * w
+        tile = ROWS_PER_TILE if self.total >= ROWS_PER_TILE * LANES else 8
+        self.rows = -(-self.total // (LANES * tile)) * tile
+
+        positions, directions = _pixel_center_grid(config.camera_config, grid_dtype)
+        self._pos0 = [
+            jnp.asarray(_to_planes(positions[..., i].reshape(-1), self.rows), dtype)
+            for i in range(3)
+        ]
+        self._dir0 = [
+            jnp.asarray(_to_planes(directions[..., i].reshape(-1), self.rows), dtype)
+            for i in range(3)
+        ]
+        valid = np.zeros((self.rows * LANES,), np.float32)
+        valid[: self.total] = 1.0
+        self._valid = jnp.asarray(valid.reshape(self.rows, LANES), dtype)
+        self._valid_b = self._valid > 0.5
+
+    # -- pure pieces -------------------------------------------------------
+
+    def _pose_planes(self, orientation, translation):
+        """World-space position/direction planes for camera 0."""
+        qw, qx, qy, qz = (orientation[0, i] for i in range(4))
+        tx, ty, tz = (translation[0, i] for i in range(3))
+        px, py, pz = quat.rotate_c(qw, qx, qy, qz, *self._pos0)
+        px, py, pz = px + tx, py + ty, pz + tz
+        dx, dy, dz = quat.rotate_c(qw, qx, qy, qz, *self._dir0)
+        return (px, py, pz), (dx, dy, dz)
+
+    def _masked_min(self, v):
+        big = jnp.asarray(np.finfo(np.float32).max, v.dtype)
+        return jnp.min(jnp.where(self._valid_b, v, big))
+
+    def _masked_max(self, v):
+        big = jnp.asarray(np.finfo(np.float32).max, v.dtype)
+        return jnp.max(jnp.where(self._valid_b, v, -big))
+
+    def _log_minmax_norm(self, dists):
+        log_d = jnp.log(clamp(dists, 1e-2))
+        lo = self._masked_min(log_d)
+        hi = self._masked_max(log_d)
+        return ((log_d - lo) / (hi - lo)) ** (1.0 / 2.33)
+
+    def _angle_colouring(self, real, imag, degree):
+        k = self.cyclic_cmap.shape[0]
+        idx = jnp.floor(
+            (jnp.arctan2(imag, real) / math.tau + 0.5) * degree * k
+        ).astype(jnp.int32)
+        idx = jnp.remainder(idx, k)
+        rows = self.cyclic_cmap[idx]  # one (rows, 128, 3) gather
+        return [rows[..., c] for c in range(3)]
+
+    def _domain_colouring(self, real, imag, degree):
+        cols = self._angle_colouring(real, imag, degree)
+        brightness = jnp.sqrt(real * real + imag * imag)
+        return [brightness * c for c in cols]
+
+    def _shade(self, mode, degree, orientation, origin, dirs, hit):
+        """Componentwise shaders on planes; returns [r, g, b] planes."""
+        x, y, z, d, nx, ny, nz, lap = hit
+        dx, dy, dz = dirs
+        name = shaders.MODES[mode % len(shaders.MODES)]
+        if name == "lambertian":
+            v = clamp(-(dx * nx + dy * ny + dz * nz), 0.0, 1.0)
+            return [v, v, v]
+        if name == "distance":
+            ox, oy, oz = origin
+            dist = jnp.sqrt((ox - x) ** 2 + (oy - y) ** 2 + (oz - z) ** 2)
+            v = self._log_minmax_norm(dist)
+            return [v, v, v]
+        if name == "proximity":
+            v = self._log_minmax_norm(d)
+            return [v, v, v]
+        if name == "vignette":
+            w_, i_, j_, k_ = (orientation[0, c] for c in range(4))
+            ax = 2 * (w_ * j_ + i_ * k_)
+            ay = 2 * (j_ * k_ - w_ * i_)
+            az = w_ * w_ - i_ * i_ - j_ * j_ + k_ * k_
+            v = (dx * ax + dy * ay + dz * az) ** 3
+            return [v, v, v]
+        if name == "normal":
+            return [clamp(jnp.abs(c), 0.0, 1.0) for c in (nx, ny, nz)]
+        if name == "laplacian":
+            hi = self._masked_max(jnp.abs(lap))
+            v = clamp((1.0 - lap / hi) / 2.0, 0.0, 1.0) ** (1.0 / 2.33)
+            return [v, v, v]
+        qc = [orientation[0, 0], -orientation[0, 1], -orientation[0, 2],
+              -orientation[0, 3]]
+        if name == "tangent":
+            ndotv = nx * dx + ny * dy + nz * dz
+            tx_, ty_, tz_ = nx - ndotv * dx, ny - ndotv * dy, nz - ndotv * dz
+            prx, pry, _ = quat.rotate_c(*qc, tx_, ty_, tz_)
+            return self._domain_colouring(prx, pry, degree)
+        # spin: q̄·(0, N); reference passes (im, re) into the (re, im) slots.
+        zero = jnp.zeros_like(nx)
+        a, bx, by, bz = quat.multiply_c(zero, nx, ny, nz, *qc)
+        b2 = bx * bx + by * by + bz * bz
+        real_part = a * a - b2
+        imag_part = jnp.sqrt(b2) * a * 2.0
+        return self._domain_colouring(imag_part, real_part, degree)
+
+    # -- public API --------------------------------------------------------
+
+    def render(self, params, orientation, translation, *, mode: int = 0,
+               degree: int = 1, marching_steps: Optional[int] = None):
+        """Render one frame → (1, H, W, 3)."""
+        cfg = self.config
+        steps = cfg.marching_steps if marching_steps is None else marching_steps
+        origin, dirs = self._pose_planes(orientation, translation)
+        flat_params, unravel = ravel_pytree(params)
+        rays7 = jnp.stack(list(origin) + list(dirs) + [self._valid], axis=0)
+        out = fused_march_normals(
+            self.sdf_c, unravel, flat_params, rays7, steps, cfg.tau,
+            cfg.normals_eps, self.interpret,
+        )
+        channels = self._shade(
+            mode, degree, orientation, origin, dirs, [out[i] for i in range(8)]
+        )
+        h, w = cfg.px_height, cfg.px_width
+        image = jnp.stack(
+            [c.reshape(-1)[: self.total].reshape(h, w) for c in channels],
+            axis=-1,
+        )
+        return image[None]
+
+    def render_all_modes(self, params, orientation, translation, *,
+                         degree: int = 1, marching_steps: Optional[int] = None):
+        """All 8 shader modes from ONE fused march+normals pass."""
+        cfg = self.config
+        steps = cfg.marching_steps if marching_steps is None else marching_steps
+        origin, dirs = self._pose_planes(orientation, translation)
+        flat_params, unravel = ravel_pytree(params)
+        rays7 = jnp.stack(list(origin) + list(dirs) + [self._valid], axis=0)
+        out = fused_march_normals(
+            self.sdf_c, unravel, flat_params, rays7, steps, cfg.tau,
+            cfg.normals_eps, self.interpret,
+        )
+        hit = [out[i] for i in range(8)]
+        h, w = cfg.px_height, cfg.px_width
+        images = {}
+        for mode, name in enumerate(shaders.MODES):
+            channels = self._shade(mode, degree, orientation, origin, dirs, hit)
+            images[name] = jnp.stack(
+                [c.reshape(-1)[: self.total].reshape(h, w) for c in channels],
+                axis=-1,
+            )[None]
+        return images
+
+    def jitted(self, **kwargs):
+        return jax.jit(partial(self.render, **kwargs))
+
+    def default_pose(self):
+        return (
+            jnp.asarray([[1.0, 0.0, 0.0, 0.0]], self.dtype),
+            jnp.asarray([[0.0, 0.0, 1.0]], self.dtype),
+        )

@@ -1,0 +1,87 @@
+"""Plane-native FastRenderer: parity with the modular pipeline + grads.
+
+The modular pipeline is itself golden-parity-tested against the PyTorch
+reference, so agreement here transitively pins the fast path to reference
+semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_marching_tpu.render.fast import FastRenderer
+from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+from ray_marching_tpu.scene import registry
+from ray_marching_tpu.scene.graph import param_paths
+
+PX = 3.45e-6
+
+
+def make_pair(scene="test_scene2", w=96, h=64, steps=16, dtype=jnp.float64):
+    cfg = RenderConfig(
+        px_width=w, px_height=h,
+        focal_length=PX * h, sensor_width=PX * w, sensor_height=PX * h,
+        marching_steps=steps,
+    )
+    node = registry.make_scene(scene)
+    grid = np.float64 if dtype == jnp.float64 else np.float32
+    r = Renderer(node, cfg, dtype=dtype, grid_dtype=grid)
+    f = FastRenderer(node, cfg, dtype=dtype, grid_dtype=grid, interpret=True)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], dtype)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], dtype)
+    return r, f, q, t
+
+
+@pytest.mark.parametrize("mode", range(8))
+def test_image_parity_all_modes(mode):
+    r, f, q, t = make_pair()
+    a = np.asarray(r.render(r.init_params, q, t, mode=mode, degree=2))
+    b = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=2))
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12, equal_nan=True)
+
+
+def test_image_parity_smooth_union_scene():
+    r, f, q, t = make_pair("test_scene")
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]], jnp.float64)
+    t = jnp.asarray([[0.0, 0.3, -2.0]], jnp.float64)
+    for mode in (0, 5, 7):
+        a = np.asarray(r.render(r.init_params, q, t, mode=mode, degree=1))
+        b = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=1))
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11, equal_nan=True)
+
+
+def test_gradients_match_modular():
+    r, f, q, t = make_pair(steps=12)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((1, 64, 96, 3)))
+
+    def loss(render_fn, params):
+        return jnp.sum(render_fn(params, q, t, mode=0, degree=2) * w)
+
+    g1 = param_paths(jax.grad(lambda p: loss(r.render, p))(r.init_params))
+    g2 = param_paths(jax.grad(lambda p: loss(f.render, p))(f.init_params))
+    assert set(g1) == set(g2)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-6, atol=1e-10,
+            err_msg=k,
+        )
+
+
+def test_odd_resolution():
+    r, f, q, t = make_pair(w=37, h=23)
+    a = np.asarray(r.render(r.init_params, q, t, mode=4, degree=1))
+    b = np.asarray(f.render(f.init_params, q, t, mode=4, degree=1))
+    assert b.shape == (1, 23, 37, 3)
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+
+
+def test_rejects_multi_camera_and_bounces():
+    cfg = RenderConfig(num_cameras=2)
+    with pytest.raises(ValueError):
+        FastRenderer(registry.make_scene("single_sphere"), cfg)
+    cfg = RenderConfig(reflection_bounces=1)
+    with pytest.raises(ValueError):
+        FastRenderer(registry.make_scene("single_sphere"), cfg)
