@@ -1,0 +1,176 @@
+"""Fully-fused Pallas backward kernel for the march+normals mega-kernel.
+
+The generic backward (checkpointed-scan recompute) streams 32 steps of ray
+positions through HBM twice. This kernel keeps the ENTIRE reverse sweep in
+VMEM per ray tile:
+
+  1. recompute the forward march, storing every intermediate position in a
+     VMEM scratch history (steps × 3 × TILE × 128 — ~3 MB at TILE=64);
+  2. fold the tail cotangents (terminal distance, normals, Laplacian) into
+     the endpoint cotangent with one ``jax.vjp`` of the tail block;
+  3. run the reverse-mode sweep step-by-step from the history, accumulating
+     the parameter cotangent (a (P,)-vector) and the ray-direction
+     cotangent on the fly.
+
+``jax.vjp`` is traced *inside* the kernel body — linearization happens at
+trace time, so the transposed ops are ordinary elementwise VPU ops like the
+primal ones. Parameter cotangents exit as one (num_tiles, P) array summed
+by the caller.
+
+Exact mode only (tau == 0); the early-exit variant falls back to the
+checkpointed-scan backward in :mod:`ray_marching_tpu.ops.pallas_render`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ray_marching_tpu.render.normals import make_offsets
+
+LANES = 128
+BWD_ROWS_PER_TILE = 64
+
+
+def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
+                params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
+                valid_ref, g_ref,
+                gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
+                gtheta_ref, hist_ref):
+    from ray_marching_tpu.ops.pallas_render import _normals_block
+
+    flat = params_ref[0, :]
+    params = unravel(flat)
+    x, y, z = px_ref[:], py_ref[:], pz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    valid = valid_ref[:] > 0.5
+    zero = jnp.zeros((), x.dtype)
+
+    # ---- forward recompute, positions logged to VMEM ----
+    def fwd_body(i, carry):
+        x, y, z = carry
+        hist_ref[i, 0] = x
+        hist_ref[i, 1] = y
+        hist_ref[i, 2] = z
+        d = sdf_c(params, x, y, z)
+        return (
+            jnp.where(valid, x + d * dx, x),
+            jnp.where(valid, y + d * dy, y),
+            jnp.where(valid, z + d * dz, z),
+        )
+
+    x, y, z = lax.fori_loop(0, steps, fwd_body, (x, y, z))
+
+    # ---- tail: terminal distance + normals + laplacian ----
+    def tail(flat, x, y, z):
+        params = unravel(flat)
+        d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
+        nx, ny, nz, lap = _normals_block(
+            sdf_c, params, x, y, z, d_centre, offsets, inverse, normals_eps
+        )
+        return (
+            d_centre,
+            jnp.where(valid, nx, zero),
+            jnp.where(valid, ny, zero),
+            jnp.where(valid, nz, zero),
+            jnp.where(valid, lap, zero),
+        )
+
+    _, tail_vjp = jax.vjp(tail, flat, x, y, z)
+    gtheta, gx, gy, gz = tail_vjp(
+        (g_ref[3], g_ref[4], g_ref[5], g_ref[6], g_ref[7])
+    )
+    gx = gx + g_ref[0]
+    gy = gy + g_ref[1]
+    gz = gz + g_ref[2]
+
+    # ---- reverse sweep over the march steps ----
+    def step_fn(flat, x, y, z, vx, vy, vz):
+        params = unravel(flat)
+        d = sdf_c(params, x, y, z)
+        return (
+            jnp.where(valid, x + d * vx, x),
+            jnp.where(valid, y + d * vy, y),
+            jnp.where(valid, z + d * vz, z),
+        )
+
+    def bwd_body(j, carry):
+        gx, gy, gz, gtheta, gvx, gvy, gvz = carry
+        i = steps - 1 - j
+        xi = hist_ref[i, 0]
+        yi = hist_ref[i, 1]
+        zi = hist_ref[i, 2]
+        _, vjp = jax.vjp(step_fn, flat, xi, yi, zi, dx, dy, dz)
+        dtheta, gx, gy, gz, dvx, dvy, dvz = vjp((gx, gy, gz))
+        return (gx, gy, gz, gtheta + dtheta, gvx + dvx, gvy + dvy, gvz + dvz)
+
+    gvz0 = jnp.zeros_like(gx)
+    gx, gy, gz, gtheta, gvx, gvy, gvz = lax.fori_loop(
+        0, steps, bwd_body, (gx, gy, gz, gtheta, gvz0, gvz0, gvz0)
+    )
+
+    gx0_ref[:] = gx
+    gy0_ref[:] = gy
+    gz0_ref[:] = gz
+    gvx_ref[:] = gvx
+    gvy_ref[:] = gvy
+    gvz_ref[:] = gvz
+    # The parameter cotangent is a (P,) vector; store it in row 0 of this
+    # tile's (8, 128) output block (Mosaic requires tile-aligned outputs;
+    # pad+concat instead of .at[].set — scatter has no TPU lowering).
+    p = gtheta.shape[0]
+    row0 = jnp.pad(gtheta[None, :], ((0, 0), (0, LANES - p)))
+    gtheta_ref[:] = jnp.concatenate(
+        [row0, jnp.zeros((7, LANES), gtheta.dtype)], axis=0
+    )
+
+
+def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
+                   normals_eps, interpret):
+    """Backward of fused_march_normals (tau == 0).
+
+    Args:
+        g8: (8, rows, 128) cotangents for (x y z d nx ny nz lap).
+
+    Returns:
+        (flat_params_cot (P,), rays7_cot (7, rows, 128)).
+    """
+    rows = rays7.shape[1]
+    tile = min(BWD_ROWS_PER_TILE, rows)
+    num_tiles = rows // tile
+    dtype = rays7.dtype
+    p = flat_params.shape[0]
+    offsets, inverse = make_offsets(normals_eps)
+    kernel = functools.partial(
+        _bwd_kernel, sdf_c, unravel, steps, normals_eps, offsets, inverse
+    )
+    plane_spec = pl.BlockSpec(
+        (tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    params_spec = pl.BlockSpec((1, p), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec(
+        (8, tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    plane_out = jax.ShapeDtypeStruct((rows, LANES), dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[params_spec] + [plane_spec] * 7 + [g_spec],
+        out_specs=[plane_spec] * 6
+        + [pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_shape=[plane_out] * 6
+        + [jax.ShapeDtypeStruct((num_tiles * 8, LANES), dtype)],
+        scratch_shapes=[pltpu.VMEM((steps, 3, tile, LANES), dtype)],
+        interpret=interpret,
+    )(flat_params[None, :], *[rays7[i] for i in range(7)], g8)
+    gx, gy, gz, gvx, gvy, gvz, gtheta_tiles = outs
+    rays7_cot = jnp.stack(
+        [gx, gy, gz, gvx, gvy, gvz, jnp.zeros_like(gx)], axis=0
+    )
+    gtheta = jnp.sum(gtheta_tiles.reshape(num_tiles, 8, LANES)[:, 0, :p], axis=0)
+    return gtheta, rays7_cot

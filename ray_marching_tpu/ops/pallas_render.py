@@ -193,6 +193,13 @@ def _fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
 
 def _bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
     flat_params, rays7 = residuals
+    if tau == 0.0:
+        from ray_marching_tpu.ops.pallas_backward import fused_backward
+
+        return fused_backward(
+            sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
+            interpret,
+        )
     _, vjp = jax.vjp(
         functools.partial(_reference_fn, sdf_c, unravel, steps, tau, normals_eps),
         flat_params, rays7,
