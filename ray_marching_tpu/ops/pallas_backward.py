@@ -35,6 +35,7 @@ from ray_marching_tpu.render.normals import make_offsets
 
 LANES = 128
 BWD_ROWS_PER_TILE = 64
+MAX_UNROLL_STEPS = 64
 
 
 def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
@@ -64,6 +65,9 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
             jnp.where(valid, z + d * dz, z),
         )
 
+    # NOTE: loops stay rolled here — statically unrolling the recompute and
+    # especially the 32 traced-VJP reverse steps blows Mosaic compile time
+    # past 8 minutes (measured round 1) for a ~10% runtime win at best.
     x, y, z = lax.fori_loop(0, steps, fwd_body, (x, y, z))
 
     # ---- tail: terminal distance + normals + laplacian ----

@@ -77,7 +77,11 @@ def _march_kernel(sdf_c, unravel, steps, tau,
                 jnp.where(valid, z + d * dz, z),
             )
 
-        x, y, z = lax.fori_loop(0, steps, body, (x, y, z))
+        if steps <= 64:
+            for _ in range(steps):  # static unroll: Mosaic pipelines steps
+                x, y, z = body(None, (x, y, z))
+        else:
+            x, y, z = lax.fori_loop(0, steps, body, (x, y, z))
     else:
 
         def cond(carry):

@@ -35,7 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ray_marching_tpu.render.normals import make_offsets
 
 LANES = 128
-DEFAULT_ROWS_PER_TILE = 256
+# Tuned on TPU v5e (tile sweep in round 1): 128-row tiles + statically
+# unrolled march steps beat 256-row tiles + fori_loop by ~1.3x.
+DEFAULT_ROWS_PER_TILE = 128
+MAX_UNROLL_STEPS = 64
 
 
 def _normals_block(sdf_c, params, x, y, z, d_centre, offsets, inverse, eps):
@@ -79,7 +82,12 @@ def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
                 jnp.where(valid, z + d * dz, z),
             )
 
-        x, y, z = lax.fori_loop(0, steps, body, (x, y, z))
+        if steps <= MAX_UNROLL_STEPS:
+            # Static unroll lets Mosaic software-pipeline across steps.
+            for _ in range(steps):
+                x, y, z = body(None, (x, y, z))
+        else:
+            x, y, z = lax.fori_loop(0, steps, body, (x, y, z))
     else:
 
         def cond(carry):
