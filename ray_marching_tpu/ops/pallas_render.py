@@ -216,3 +216,97 @@ def _bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
 
 
 fused_march_normals.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Implicit-function-theorem variant: same fused forward kernel, O(1) backward
+# (no reverse sweep at all — see ray_marching_tpu.render.implicit for the
+# math). Exact on converged rays; silhouette gradients differ from unrolled.
+# ---------------------------------------------------------------------------
+
+
+def _tail_planes(sdf_c, unravel, normals_eps, valid, flat_params, x, y, z):
+    params = unravel(flat_params)
+    offsets, inverse = make_offsets(normals_eps)
+    zero = jnp.zeros((), x.dtype)
+    d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
+    nx, ny, nz, lap = _normals_block(
+        sdf_c, params, x, y, z, d_centre, offsets, inverse, normals_eps
+    )
+    return (
+        d_centre,
+        jnp.where(valid, nx, zero),
+        jnp.where(valid, ny, zero),
+        jnp.where(valid, nz, zero),
+        jnp.where(valid, lap, zero),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7))
+def fused_march_normals_ift(sdf_c, unravel, flat_params, rays7, steps, tau,
+                            normals_eps, interpret):
+    return fused_march_normals(
+        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
+    )
+
+
+def _ift_fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+             interpret):
+    out = fused_march_normals(
+        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
+    )
+    return out, (flat_params, rays7, out)
+
+
+def _ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g,
+             hit_threshold=0.05, denom_eps=1e-6):
+    flat_params, rays7, out = residuals
+    x, y, z = out[0], out[1], out[2]
+    d_star = out[3]
+    px, py, pz, vx, vy, vz = (rays7[i] for i in range(6))
+    valid = rays7[6] > 0.5
+
+    # Tail (terminal distance + normals + laplacian) cotangents: one VJP.
+    tail = functools.partial(_tail_planes, sdf_c, unravel, normals_eps, valid)
+    _, tail_vjp = jax.vjp(tail, flat_params, x, y, z)
+    gtheta, gx, gy, gz = tail_vjp((g[3], g[4], g[5], g[6], g[7]))
+    gx, gy, gz = gx + g[0], gy + g[1], gz + g[2]
+
+    # IFT at the fixed point: ∇f via one more VJP, then closed-form routing.
+    params = unravel(flat_params)
+
+    def f_only(flat, x, y, z):
+        p = unravel(flat)
+        return sdf_c(p, x, y, z)
+
+    _, f_vjp = jax.vjp(f_only, flat_params, x, y, z)
+    ones = jnp.ones_like(d_star)
+    _, nfx, nfy, nfz = f_vjp(ones)
+
+    denom = vx * nfx + vy * nfy + vz * nfz
+    safe = jnp.where(
+        jnp.abs(denom) < denom_eps,
+        jnp.where(denom < 0, -denom_eps, denom_eps),
+        denom,
+    )
+    hit = jnp.logical_and(jnp.abs(d_star) < hit_threshold, valid)
+    g_dot_v = gx * vx + gy * vy + gz * vz
+    w = jnp.where(hit, -g_dot_v / safe, jnp.zeros_like(g_dot_v))
+
+    gtheta_march, _, _, _ = f_vjp(w)
+    gtheta = gtheta + gtheta_march
+
+    t_star = (x - px) * vx + (y - py) * vy + (z - pz) * vz
+    gp0x, gp0y, gp0z = gx + nfx * w, gy + nfy * w, gz + nfz * w
+    rays7_cot = jnp.stack(
+        [
+            gp0x, gp0y, gp0z,
+            t_star * gp0x, t_star * gp0y, t_star * gp0z,
+            jnp.zeros_like(gx),
+        ],
+        axis=0,
+    )
+    return gtheta, rays7_cot
+
+
+fused_march_normals_ift.defvjp(_ift_fwd, _ift_bwd)

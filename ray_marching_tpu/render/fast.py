@@ -30,7 +30,10 @@ from jax.flatten_util import ravel_pytree
 
 from ray_marching_tpu import quat
 from ray_marching_tpu.camera import CameraConfig, _pixel_center_grid
-from ray_marching_tpu.ops.pallas_render import fused_march_normals
+from ray_marching_tpu.ops.pallas_render import (
+    fused_march_normals,
+    fused_march_normals_ift,
+)
 from ray_marching_tpu.render import shaders
 from ray_marching_tpu.render.pipeline import RenderConfig
 from ray_marching_tpu.scene.graph import Node, compile_scene
@@ -177,7 +180,12 @@ class FastRenderer:
         origin, dirs = self._pose_planes(orientation, translation)
         flat_params, unravel = ravel_pytree(params)
         rays7 = jnp.stack(list(origin) + list(dirs) + [self._valid], axis=0)
-        out = fused_march_normals(
+        march = (
+            fused_march_normals_ift
+            if cfg.backward == "implicit"
+            else fused_march_normals
+        )
+        out = march(
             self.sdf_c, unravel, flat_params, rays7, steps, cfg.tau,
             cfg.normals_eps, self.interpret,
         )
@@ -199,7 +207,12 @@ class FastRenderer:
         origin, dirs = self._pose_planes(orientation, translation)
         flat_params, unravel = ravel_pytree(params)
         rays7 = jnp.stack(list(origin) + list(dirs) + [self._valid], axis=0)
-        out = fused_march_normals(
+        march = (
+            fused_march_normals_ift
+            if cfg.backward == "implicit"
+            else fused_march_normals
+        )
+        out = march(
             self.sdf_c, unravel, flat_params, rays7, steps, cfg.tau,
             cfg.normals_eps, self.interpret,
         )

@@ -122,3 +122,40 @@ def test_tau_nonzero_uses_fallback_backward():
     )
     flat = param_paths(g)
     assert all(np.isfinite(np.asarray(v)).all() for v in flat.values())
+
+
+def test_implicit_backward_matches_modular_implicit():
+    """FastRenderer(backward='implicit') reproduces the modular IFT
+    gradients exactly — the silhouette approximation is shared, not a fast-
+    path artifact."""
+    import dataclasses
+
+    cfg = RenderConfig(
+        px_width=96, px_height=64,
+        focal_length=PX * 64, sensor_width=PX * 96, sensor_height=PX * 64,
+        marching_steps=32, backward="implicit",
+    )
+    node = registry.make_scene("test_scene2")
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float64)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float64)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((1, 64, 96, 3)))
+    g1 = param_paths(
+        jax.grad(lambda p: jnp.sum(f.render(p, q, t, mode=0, degree=1) * w))(
+            f.init_params
+        )
+    )
+    g2 = param_paths(
+        jax.grad(lambda p: jnp.sum(r.render(p, q, t, mode=0, degree=1) * w))(
+            r.init_params
+        )
+    )
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-6, atol=1e-9,
+            err_msg=k,
+        )
