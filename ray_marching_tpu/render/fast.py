@@ -59,8 +59,6 @@ class FastRenderer:
             interpret = jax.default_backend() == "cpu"
         if config.num_cameras != 1:
             raise ValueError("FastRenderer supports num_cameras == 1")
-        if config.reflection_bounces:
-            raise ValueError("use the modular Renderer for reflection bounces")
         self.config = config
         self.dtype = dtype
         self.interpret = interpret
@@ -172,25 +170,46 @@ class FastRenderer:
 
     # -- public API --------------------------------------------------------
 
+    def _march_planes(self, params, origin, dirs, steps):
+        """Fused march (+ optional reflection bounces, reference mirror
+        formula control.py:179-194); returns the 8 hit planes and the final
+        (possibly reflected) direction planes."""
+        cfg = self.config
+        flat_params, unravel = ravel_pytree(params)
+        march = (
+            fused_march_normals_ift
+            if cfg.backward == "implicit"
+            else fused_march_normals
+        )
+
+        def run(origin, dirs):
+            rays7 = jnp.stack(list(origin) + list(dirs) + [self._valid], axis=0)
+            out = march(
+                self.sdf_c, unravel, flat_params, rays7, steps, cfg.tau,
+                cfg.normals_eps, self.interpret,
+            )
+            return [out[i] for i in range(8)]
+
+        hit = run(origin, dirs)
+        dx, dy, dz = dirs
+        eps = jnp.asarray(cfg.normals_eps, self.dtype)
+        for _ in range(cfg.reflection_bounces):
+            x, y, z, _, nx, ny, nz, _ = hit
+            proj = nx * (-dx) + ny * (-dy) + nz * (-dz)
+            dx, dy, dz = 2 * proj * nx + dx, 2 * proj * ny + dy, 2 * proj * nz + dz
+            # Escape the |f| ≈ 0 shell before re-marching.
+            hit = run((x + dx * eps, y + dy * eps, z + dz * eps), (dx, dy, dz))
+        return hit, (dx, dy, dz)
+
     def render(self, params, orientation, translation, *, mode: int = 0,
                degree: int = 1, marching_steps: Optional[int] = None):
         """Render one frame → (1, H, W, 3)."""
         cfg = self.config
         steps = cfg.marching_steps if marching_steps is None else marching_steps
         origin, dirs = self._pose_planes(orientation, translation)
-        flat_params, unravel = ravel_pytree(params)
-        rays7 = jnp.stack(list(origin) + list(dirs) + [self._valid], axis=0)
-        march = (
-            fused_march_normals_ift
-            if cfg.backward == "implicit"
-            else fused_march_normals
-        )
-        out = march(
-            self.sdf_c, unravel, flat_params, rays7, steps, cfg.tau,
-            cfg.normals_eps, self.interpret,
-        )
+        hit, final_dirs = self._march_planes(params, origin, dirs, steps)
         channels = self._shade(
-            mode, degree, orientation, origin, dirs, [out[i] for i in range(8)]
+            mode, degree, orientation, origin, final_dirs, hit
         )
         h, w = cfg.px_height, cfg.px_width
         image = jnp.stack(
@@ -205,18 +224,8 @@ class FastRenderer:
         cfg = self.config
         steps = cfg.marching_steps if marching_steps is None else marching_steps
         origin, dirs = self._pose_planes(orientation, translation)
-        flat_params, unravel = ravel_pytree(params)
-        rays7 = jnp.stack(list(origin) + list(dirs) + [self._valid], axis=0)
-        march = (
-            fused_march_normals_ift
-            if cfg.backward == "implicit"
-            else fused_march_normals
-        )
-        out = march(
-            self.sdf_c, unravel, flat_params, rays7, steps, cfg.tau,
-            cfg.normals_eps, self.interpret,
-        )
-        hit = [out[i] for i in range(8)]
+        hit, final_dirs = self._march_planes(params, origin, dirs, steps)
+        dirs = final_dirs
         h, w = cfg.px_height, cfg.px_width
         images = {}
         for mode, name in enumerate(shaders.MODES):

@@ -78,13 +78,28 @@ def test_odd_resolution():
     np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
 
 
-def test_rejects_multi_camera_and_bounces():
+def test_rejects_multi_camera():
     cfg = RenderConfig(num_cameras=2)
     with pytest.raises(ValueError):
         FastRenderer(registry.make_scene("single_sphere"), cfg)
-    cfg = RenderConfig(reflection_bounces=1)
-    with pytest.raises(ValueError):
-        FastRenderer(registry.make_scene("single_sphere"), cfg)
+
+
+def test_reflection_bounce_matches_modular():
+    cfg = RenderConfig(
+        px_width=64, px_height=48,
+        focal_length=PX * 48, sensor_width=PX * 64, sensor_height=PX * 48,
+        marching_steps=24, reflection_bounces=1,
+    )
+    node = registry.make_scene("test_scene2")
+    r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float64)
+    t = jnp.asarray([[0.0, 0.2, 2.0]], jnp.float64)
+    for mode in (0, 4, 7):
+        a = np.asarray(r.render(r.init_params, q, t, mode=mode, degree=1))
+        b = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=1))
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11, equal_nan=True)
 
 
 def test_pose_gradients_match_modular():
