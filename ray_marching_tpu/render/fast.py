@@ -50,15 +50,18 @@ def _to_planes(flat: np.ndarray, rows: int) -> np.ndarray:
 
 
 class FastRenderer:
-    """Drop-in fast forward/backward renderer (single camera)."""
+    """Drop-in fast forward/backward renderer.
+
+    Multi-camera batches stack each camera's ray grid along the plane rows;
+    the fused kernel runs once over all cameras, and the global min/max
+    shader normalizations span the whole batch (reference semantics).
+    """
 
     def __init__(self, scene: Node, config: RenderConfig, dtype=jnp.float32,
                  grid_dtype=np.float32, interpret: Optional[bool] = None):
         if interpret is None:
             # Mosaic kernels only compile for TPU; interpret elsewhere.
             interpret = jax.default_backend() == "cpu"
-        if config.num_cameras != 1:
-            raise ValueError("FastRenderer supports num_cameras == 1")
         self.config = config
         self.dtype = dtype
         self.interpret = interpret
@@ -67,34 +70,67 @@ class FastRenderer:
         self.cyclic_cmap = shaders.load_cyclic_cmap(dtype)
 
         h, w = config.px_height, config.px_width
-        self.total = h * w
+        self.num_cameras = config.num_cameras
+        self.total = h * w  # rays per camera
         tile = ROWS_PER_TILE if self.total >= ROWS_PER_TILE * LANES else 8
-        self.rows = -(-self.total // (LANES * tile)) * tile
+        self.rows_per_cam = -(-self.total // (LANES * tile)) * tile
+        self.rows = self.rows_per_cam * self.num_cameras
 
         positions, directions = _pixel_center_grid(config.camera_config, grid_dtype)
         self._pos0 = [
-            jnp.asarray(_to_planes(positions[..., i].reshape(-1), self.rows), dtype)
+            jnp.asarray(
+                _to_planes(positions[..., i].reshape(-1), self.rows_per_cam), dtype
+            )
             for i in range(3)
         ]
         self._dir0 = [
-            jnp.asarray(_to_planes(directions[..., i].reshape(-1), self.rows), dtype)
+            jnp.asarray(
+                _to_planes(directions[..., i].reshape(-1), self.rows_per_cam), dtype
+            )
             for i in range(3)
         ]
-        valid = np.zeros((self.rows * LANES,), np.float32)
+        valid = np.zeros((self.rows_per_cam * LANES,), np.float32)
         valid[: self.total] = 1.0
-        self._valid = jnp.asarray(valid.reshape(self.rows, LANES), dtype)
+        valid = valid.reshape(self.rows_per_cam, LANES)
+        self._valid = jnp.asarray(
+            np.concatenate([valid] * self.num_cameras, axis=0), dtype
+        )
         self._valid_b = self._valid > 0.5
 
     # -- pure pieces -------------------------------------------------------
 
     def _pose_planes(self, orientation, translation):
-        """World-space position/direction planes for camera 0."""
-        qw, qx, qy, qz = (orientation[0, i] for i in range(4))
-        tx, ty, tz = (translation[0, i] for i in range(3))
-        px, py, pz = quat.rotate_c(qw, qx, qy, qz, *self._pos0)
-        px, py, pz = px + tx, py + ty, pz + tz
-        dx, dy, dz = quat.rotate_c(qw, qx, qy, qz, *self._dir0)
-        return (px, py, pz), (dx, dy, dz)
+        """World-space position/direction planes, cameras stacked row-wise."""
+        pos, dirs = [], []
+        for n in range(self.num_cameras):
+            qw, qx, qy, qz = (orientation[n, i] for i in range(4))
+            tx, ty, tz = (translation[n, i] for i in range(3))
+            px, py, pz = quat.rotate_c(qw, qx, qy, qz, *self._pos0)
+            pos.append((px + tx, py + ty, pz + tz))
+            dirs.append(quat.rotate_c(qw, qx, qy, qz, *self._dir0))
+        cat = lambda blocks: jnp.concatenate(blocks, axis=0)
+        if self.num_cameras == 1:
+            return pos[0], dirs[0]
+        return (
+            tuple(cat([p[i] for p in pos]) for i in range(3)),
+            tuple(cat([d[i] for d in dirs]) for i in range(3)),
+        )
+
+    def _per_camera(self, fn, *plane_groups):
+        """Apply fn(cam_idx, *per-camera plane slices) and re-concat rows."""
+        if self.num_cameras == 1:
+            return fn(0, *plane_groups)
+        outs = []
+        for n in range(self.num_cameras):
+            lo = n * self.rows_per_cam
+            hi = lo + self.rows_per_cam
+            sliced = [
+                [p[lo:hi] for p in group] if isinstance(group, (list, tuple))
+                else group[lo:hi]
+                for group in plane_groups
+            ]
+            outs.append(fn(n, *sliced))
+        return [jnp.concatenate([o[c] for o in outs], axis=0) for c in range(3)]
 
     def _masked_min(self, v):
         big = jnp.asarray(np.finfo(np.float32).max, v.dtype)
@@ -141,32 +177,47 @@ class FastRenderer:
             v = self._log_minmax_norm(d)
             return [v, v, v]
         if name == "vignette":
-            w_, i_, j_, k_ = (orientation[0, c] for c in range(4))
-            ax = 2 * (w_ * j_ + i_ * k_)
-            ay = 2 * (j_ * k_ - w_ * i_)
-            az = w_ * w_ - i_ * i_ - j_ * j_ + k_ * k_
-            v = (dx * ax + dy * ay + dz * az) ** 3
-            return [v, v, v]
+            def vignette_cam(n, dirs_n):
+                dxn, dyn, dzn = dirs_n
+                w_, i_, j_, k_ = (orientation[n, c] for c in range(4))
+                ax = 2 * (w_ * j_ + i_ * k_)
+                ay = 2 * (j_ * k_ - w_ * i_)
+                az = w_ * w_ - i_ * i_ - j_ * j_ + k_ * k_
+                v = (dxn * ax + dyn * ay + dzn * az) ** 3
+                return [v, v, v]
+            return self._per_camera(vignette_cam, [dx, dy, dz])
         if name == "normal":
             return [clamp(jnp.abs(c), 0.0, 1.0) for c in (nx, ny, nz)]
         if name == "laplacian":
             hi = self._masked_max(jnp.abs(lap))
             v = clamp((1.0 - lap / hi) / 2.0, 0.0, 1.0) ** (1.0 / 2.33)
             return [v, v, v]
-        qc = [orientation[0, 0], -orientation[0, 1], -orientation[0, 2],
-              -orientation[0, 3]]
         if name == "tangent":
-            ndotv = nx * dx + ny * dy + nz * dz
-            tx_, ty_, tz_ = nx - ndotv * dx, ny - ndotv * dy, nz - ndotv * dz
-            prx, pry, _ = quat.rotate_c(*qc, tx_, ty_, tz_)
-            return self._domain_colouring(prx, pry, degree)
+            def tangent_cam(n, dirs_n, normals_n):
+                dxn, dyn, dzn = dirs_n
+                nxn, nyn, nzn = normals_n
+                qc = [orientation[n, 0], -orientation[n, 1],
+                      -orientation[n, 2], -orientation[n, 3]]
+                ndotv = nxn * dxn + nyn * dyn + nzn * dzn
+                tx_, ty_, tz_ = (
+                    nxn - ndotv * dxn, nyn - ndotv * dyn, nzn - ndotv * dzn
+                )
+                prx, pry, _ = quat.rotate_c(*qc, tx_, ty_, tz_)
+                return self._domain_colouring(prx, pry, degree)
+            return self._per_camera(tangent_cam, [dx, dy, dz], [nx, ny, nz])
+
         # spin: q̄·(0, N); reference passes (im, re) into the (re, im) slots.
-        zero = jnp.zeros_like(nx)
-        a, bx, by, bz = quat.multiply_c(zero, nx, ny, nz, *qc)
-        b2 = bx * bx + by * by + bz * bz
-        real_part = a * a - b2
-        imag_part = jnp.sqrt(b2) * a * 2.0
-        return self._domain_colouring(imag_part, real_part, degree)
+        def spin_cam(n, normals_n):
+            nxn, nyn, nzn = normals_n
+            qc = [orientation[n, 0], -orientation[n, 1],
+                  -orientation[n, 2], -orientation[n, 3]]
+            zero = jnp.zeros_like(nxn)
+            a, bx, by, bz = quat.multiply_c(zero, nxn, nyn, nzn, *qc)
+            b2 = bx * bx + by * by + bz * bz
+            real_part = a * a - b2
+            imag_part = jnp.sqrt(b2) * a * 2.0
+            return self._domain_colouring(imag_part, real_part, degree)
+        return self._per_camera(spin_cam, [nx, ny, nz])
 
     # -- public API --------------------------------------------------------
 
@@ -211,12 +262,24 @@ class FastRenderer:
         channels = self._shade(
             mode, degree, orientation, origin, final_dirs, hit
         )
-        h, w = cfg.px_height, cfg.px_width
-        image = jnp.stack(
-            [c.reshape(-1)[: self.total].reshape(h, w) for c in channels],
-            axis=-1,
-        )
-        return image[None]
+        return self._assemble(channels)
+
+    def _assemble(self, channels):
+        h, w = self.config.px_height, self.config.px_width
+        frames = []
+        for n in range(self.num_cameras):
+            lo = n * self.rows_per_cam
+            hi = lo + self.rows_per_cam
+            frames.append(
+                jnp.stack(
+                    [
+                        c[lo:hi].reshape(-1)[: self.total].reshape(h, w)
+                        for c in channels
+                    ],
+                    axis=-1,
+                )
+            )
+        return jnp.stack(frames, axis=0)
 
     def render_all_modes(self, params, orientation, translation, *,
                          degree: int = 1, marching_steps: Optional[int] = None):
@@ -230,17 +293,15 @@ class FastRenderer:
         images = {}
         for mode, name in enumerate(shaders.MODES):
             channels = self._shade(mode, degree, orientation, origin, dirs, hit)
-            images[name] = jnp.stack(
-                [c.reshape(-1)[: self.total].reshape(h, w) for c in channels],
-                axis=-1,
-            )[None]
+            images[name] = self._assemble(channels)
         return images
 
     def jitted(self, **kwargs):
         return jax.jit(partial(self.render, **kwargs))
 
     def default_pose(self):
+        n = self.num_cameras
         return (
-            jnp.asarray([[1.0, 0.0, 0.0, 0.0]], self.dtype),
-            jnp.asarray([[0.0, 0.0, 1.0]], self.dtype),
+            jnp.tile(jnp.asarray([[1.0, 0.0, 0.0, 0.0]], self.dtype), (n, 1)),
+            jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], self.dtype), (n, 1)),
         )

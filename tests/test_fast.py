@@ -78,10 +78,15 @@ def test_odd_resolution():
     np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
 
 
-def test_rejects_multi_camera():
-    cfg = RenderConfig(num_cameras=2)
-    with pytest.raises(ValueError):
-        FastRenderer(registry.make_scene("single_sphere"), cfg)
+def test_multi_camera_default_pose_shape():
+    cfg = RenderConfig(num_cameras=2, px_width=16, px_height=8,
+                       marching_steps=4)
+    f = FastRenderer(registry.make_scene("single_sphere"), cfg,
+                     interpret=True)
+    q, t = f.default_pose()
+    assert q.shape == (2, 4) and t.shape == (2, 3)
+    img = f.render(f.init_params, q, t, mode=1, degree=1)
+    assert img.shape == (2, 8, 16, 3)
 
 
 def test_reflection_bounce_matches_modular():
@@ -174,3 +179,34 @@ def test_implicit_backward_matches_modular_implicit():
             np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-6, atol=1e-9,
             err_msg=k,
         )
+
+
+def test_multi_camera_matches_modular():
+    """Two-camera batch: cameras stack along plane rows; global shader
+    normalizations span the whole batch (reference semantics). Spin/tangent
+    allow a handful of colourmap-index boundary flips: the axis-aligned
+    pose puts wall-normal angles exactly on floor() boundaries where 1-ulp
+    noise picks the neighbouring row."""
+    cfg = RenderConfig(
+        num_cameras=2, px_width=64, px_height=48,
+        focal_length=PX * 48, sensor_width=PX * 64, sensor_height=PX * 48,
+        marching_steps=16,
+    )
+    node = registry.make_scene("test_scene2")
+    r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    q = jnp.asarray(
+        [[0.0, 0.0, 1.0, 0.0], [0.1, 0.02, 0.99, 0.01]], jnp.float64
+    )
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = jnp.asarray([[0.0, 0.2, 2.0], [0.2, 0.1, 2.2]], jnp.float64)
+    for mode in range(8):
+        a = np.asarray(r.render(r.init_params, q, t, mode=mode, degree=2))
+        b = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=2))
+        assert b.shape == (2, 48, 64, 3)
+        close = np.isclose(a, b, rtol=1e-9, atol=1e-11, equal_nan=True)
+        if mode in (6, 7):
+            assert (~close).mean() < 0.005, f"mode {mode}: {(~close).mean()}"
+        else:
+            assert close.all(), f"mode {mode}"
