@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -149,7 +150,7 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     num_tiles = rows // tile
     dtype = rays7.dtype
     p = flat_params.shape[0]
-    offsets, inverse = make_offsets(normals_eps)
+    offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
     kernel = functools.partial(
         _bwd_kernel, sdf_c, unravel, steps, normals_eps, offsets, inverse
     )

@@ -133,7 +133,9 @@ def fused_march_normals(sdf_c, unravel, flat_params, rays7, steps, tau,
     rows_per_tile = min(DEFAULT_ROWS_PER_TILE, rows)
     num_tiles = rows // rows_per_tile
     dtype = rays7.dtype
-    offsets, inverse = make_offsets(normals_eps)
+    # Constants must match the ray dtype (f64 numpy scalars would promote
+    # f32 planes under x64 and break the kernel's typed ref stores).
+    offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
     kernel = functools.partial(
         _render_kernel, sdf_c, unravel, steps, tau, offsets, inverse,
         normals_eps,
@@ -161,7 +163,7 @@ def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7):
     params = unravel(flat_params)
     px, py, pz, dx, dy, dz = (rays7[i] for i in range(6))
     valid = rays7[6] > 0.5
-    offsets, inverse = make_offsets(normals_eps)
+    offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(px.dtype))
 
     def step(carry, _):
         x, y, z = carry
@@ -227,7 +229,7 @@ fused_march_normals.defvjp(_fwd, _bwd)
 
 def _tail_planes(sdf_c, unravel, normals_eps, valid, flat_params, x, y, z):
     params = unravel(flat_params)
-    offsets, inverse = make_offsets(normals_eps)
+    offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(x.dtype))
     zero = jnp.zeros((), x.dtype)
     d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
     nx, ny, nz, lap = _normals_block(
