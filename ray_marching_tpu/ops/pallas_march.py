@@ -44,6 +44,16 @@ LANES = 128
 DEFAULT_ROWS_PER_TILE = 256
 
 
+def ravel_params_padded(params, dtype):
+    """ravel_pytree that tolerates parameterless scenes: Mosaic block specs
+    need width >= 1, so an empty vector is padded to one dummy zero and the
+    unravel ignores the padding."""
+    flat, unravel = ravel_pytree(params)
+    if flat.size == 0:
+        return jnp.zeros((1,), dtype), lambda v: unravel(v[:0])
+    return flat, unravel
+
+
 def _pad_rows(flat: jnp.ndarray, rows: int, rows_per_tile: int) -> jnp.ndarray:
     """(R,) -> (rows_padded, 128) with zero fill."""
     total = flat.shape[0]
@@ -231,7 +241,7 @@ def pallas_march_with_distance(sdf_c, params, ray_positions, ray_directions,
     rows_per_tile = DEFAULT_ROWS_PER_TILE if total >= DEFAULT_ROWS_PER_TILE * LANES else 8
     rows = -(-total // (LANES * rows_per_tile)) * rows_per_tile
 
-    flat_params, unravel = ravel_pytree(params)
+    flat_params, unravel = ravel_params_padded(params, ray_positions.dtype)
 
     def plane(a, idx):
         return _pad_rows(a[..., idx].reshape(-1), rows, rows_per_tile)

@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.flatten_util import ravel_pytree
+from ray_marching_tpu.ops.pallas_march import ravel_params_padded
 
 from ray_marching_tpu import quat
 from ray_marching_tpu.camera import CameraConfig, _pixel_center_grid
@@ -226,7 +226,7 @@ class FastRenderer:
         formula control.py:179-194); returns the 8 hit planes and the final
         (possibly reflected) direction planes."""
         cfg = self.config
-        flat_params, unravel = ravel_pytree(params)
+        flat_params, unravel = ravel_params_padded(params, self.dtype)
         march = (
             fused_march_normals_ift
             if cfg.backward == "implicit"
