@@ -145,6 +145,10 @@ def init_params(node: Node, dtype=jnp.float32):
         return {"rounding": arr(node.rounding), "child": init_params(node.child, dtype)}
     if isinstance(node, Onion):
         return {"radius": arr(node.radius), "child": init_params(node.child, dtype)}
+    from ray_marching_tpu.scene.neural import NeuralSDF, init_neural_params
+
+    if isinstance(node, NeuralSDF):
+        return init_neural_params(node, dtype)
     raise TypeError(f"unknown scene node: {node!r}")
 
 
@@ -192,6 +196,10 @@ def compile_node(node: Node) -> Callable:
             return ops.onion(params["radius"], child(params["child"], x, y, z))
 
         return onion_fn
+    from ray_marching_tpu.scene.neural import NeuralSDF, neural_sdf
+
+    if isinstance(node, NeuralSDF):
+        return neural_sdf(node)
     raise TypeError(f"unknown scene node: {node!r}")
 
 
