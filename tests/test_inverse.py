@@ -121,3 +121,28 @@ def test_checkpoint_roundtrip(tmp_path):
     restored, extra = load_pytree(p, tree, with_extra=True)
     np.testing.assert_array_equal(np.asarray(restored["a"]), [1.0, 2.0])
     assert int(extra["step"]) == 7
+
+
+def test_optimize_with_fast_renderer(setup):
+    """The inverse loop is renderer-agnostic: the plane-native fast path
+    (fused kernels + fused backward) recovers the same parameter."""
+    from ray_marching_tpu.render.fast import FastRenderer
+
+    cfg = RenderConfig(
+        px_width=48, px_height=32,
+        focal_length=PX * 32, sensor_width=PX * 48, sensor_height=PX * 32,
+        marching_steps=12,
+    )
+    f = FastRenderer(registry.make_scene("test_scene2"), cfg,
+                     dtype=jnp.float32, interpret=True)
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float32)
+    t = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32)
+    true_params = jax.tree.map(lambda x: x, f.init_params)
+    true_params["c1"]["c0"]["radius"] = jnp.asarray(0.65, jnp.float32)
+    target = f.render(true_params, q, t, mode=0, degree=1)
+    out = optimize(
+        f, target, q, t,
+        InverseConfig(learning_rate=2e-2, steps=120, mode=0, degree=1,
+                      trainable=["c1/c0/radius"]),
+    )
+    assert abs(float(out["params"]["c1"]["c0"]["radius"]) - 0.65) < 0.03
