@@ -36,6 +36,11 @@ from ray_marching_tpu.render.normals import make_offsets
 
 LANES = 128
 BWD_ROWS_PER_TILE = 64
+# Two-level recompute: log every K-th position only, re-march segments
+# during the reverse sweep. Scratch drops from steps×3 to (steps/K + K)×3
+# planes per tile, which lets the tile grow to 128 rows.
+CKPT_INTERVAL = 8
+BWD_ROWS_PER_TILE_2L = 64  # 128 OOMs scoped VMEM by ~0.6MB on v5e
 MAX_UNROLL_STEPS = 64
 
 
@@ -135,6 +140,124 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     )
 
 
+def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
+                   params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
+                   valid_ref, g_ref,
+                   gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
+                   gtheta_ref, ckpt_ref, seg_ref):
+    """Two-level-recompute variant of :func:`_bwd_kernel` (steps % K == 0)."""
+    from ray_marching_tpu.ops.pallas_render import _normals_block
+
+    k = CKPT_INTERVAL
+    n_seg = steps // k
+    flat = params_ref[0, :]
+    params = unravel(flat)
+    x, y, z = px_ref[:], py_ref[:], pz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    valid = valid_ref[:] > 0.5
+    zero = jnp.zeros((), x.dtype)
+
+    def advance(carry):
+        x, y, z = carry
+        d = sdf_c(params, x, y, z)
+        return (
+            jnp.where(valid, x + d * dx, x),
+            jnp.where(valid, y + d * dy, y),
+            jnp.where(valid, z + d * dz, z),
+        )
+
+    # ---- forward recompute, one checkpoint per segment ----
+    def fwd_seg(s, carry):
+        x, y, z = carry
+        ckpt_ref[s, 0] = x
+        ckpt_ref[s, 1] = y
+        ckpt_ref[s, 2] = z
+        return lax.fori_loop(0, k, lambda _, c: advance(c), (x, y, z))
+
+    x, y, z = lax.fori_loop(0, n_seg, fwd_seg, (x, y, z))
+
+    # ---- tail cotangents (same as the full-history kernel) ----
+    def tail(flat, x, y, z):
+        params = unravel(flat)
+        d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
+        nx, ny, nz, lap = _normals_block(
+            sdf_c, params, x, y, z, d_centre, offsets, inverse, normals_eps
+        )
+        return (
+            d_centre,
+            jnp.where(valid, nx, zero),
+            jnp.where(valid, ny, zero),
+            jnp.where(valid, nz, zero),
+            jnp.where(valid, lap, zero),
+        )
+
+    _, tail_vjp = jax.vjp(tail, flat, x, y, z)
+    gtheta, gx, gy, gz = tail_vjp(
+        (g_ref[3], g_ref[4], g_ref[5], g_ref[6], g_ref[7])
+    )
+    gx = gx + g_ref[0]
+    gy = gy + g_ref[1]
+    gz = gz + g_ref[2]
+
+    def step_fn(flat, x, y, z, vx, vy, vz):
+        params = unravel(flat)
+        d = sdf_c(params, x, y, z)
+        return (
+            jnp.where(valid, x + d * vx, x),
+            jnp.where(valid, y + d * vy, y),
+            jnp.where(valid, z + d * vz, z),
+        )
+
+    # ---- reverse sweep: re-march each segment, then backprop through it ----
+    def bwd_seg(si, carry):
+        gx, gy, gz, gtheta, gvx, gvy, gvz = carry
+        s = n_seg - 1 - si
+        x = ckpt_ref[s, 0]
+        y = ckpt_ref[s, 1]
+        z = ckpt_ref[s, 2]
+
+        def log_seg(j, carry):
+            x, y, z = carry
+            seg_ref[j, 0] = x
+            seg_ref[j, 1] = y
+            seg_ref[j, 2] = z
+            return advance((x, y, z))
+
+        lax.fori_loop(0, k, log_seg, (x, y, z))
+
+        def bwd_step(j, carry):
+            gx, gy, gz, gtheta, gvx, gvy, gvz = carry
+            i = k - 1 - j
+            _, vjp = jax.vjp(
+                step_fn, flat, seg_ref[i, 0], seg_ref[i, 1], seg_ref[i, 2],
+                dx, dy, dz,
+            )
+            dtheta, gx, gy, gz, dvx, dvy, dvz = vjp((gx, gy, gz))
+            return (gx, gy, gz, gtheta + dtheta,
+                    gvx + dvx, gvy + dvy, gvz + dvz)
+
+        return lax.fori_loop(
+            0, k, bwd_step, (gx, gy, gz, gtheta, gvx, gvy, gvz)
+        )
+
+    gvz0 = jnp.zeros_like(gx)
+    gx, gy, gz, gtheta, gvx, gvy, gvz = lax.fori_loop(
+        0, n_seg, bwd_seg, (gx, gy, gz, gtheta, gvz0, gvz0, gvz0)
+    )
+
+    gx0_ref[:] = gx
+    gy0_ref[:] = gy
+    gz0_ref[:] = gz
+    gvx_ref[:] = gvx
+    gvy_ref[:] = gvy
+    gvz_ref[:] = gvz
+    p = gtheta.shape[0]
+    row0 = jnp.pad(gtheta[None, :], ((0, 0), (0, LANES - p)))
+    gtheta_ref[:] = jnp.concatenate(
+        [row0, jnp.zeros((7, LANES), gtheta.dtype)], axis=0
+    )
+
+
 def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
                    normals_eps, interpret):
     """Backward of fused_march_normals (tau == 0).
@@ -146,14 +269,39 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
         (flat_params_cot (P,), rays7_cot (7, rows, 128)).
     """
     rows = rays7.shape[1]
-    tile = min(BWD_ROWS_PER_TILE, rows)
-    num_tiles = rows // tile
     dtype = rays7.dtype
     p = flat_params.shape[0]
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
-    kernel = functools.partial(
-        _bwd_kernel, sdf_c, unravel, steps, normals_eps, offsets, inverse
+    k = CKPT_INTERVAL
+    # Opt-in experiment (RM_TPU_BWD_TWO_LEVEL=1): trades the full position
+    # history for segment recompute. The hoped-for win (128-row tiles) OOMs
+    # scoped VMEM on v5e once the reverse sweep's VJP temporaries are
+    # counted, so at equal tile size this only reduces scratch; kept for
+    # future tuning (ROADMAP #2).
+    import os
+
+    two_level = (
+        os.environ.get("RM_TPU_BWD_TWO_LEVEL", "0") == "1"
+        and steps % k == 0
+        and steps >= 2 * k
     )
+    if two_level:
+        tile = min(BWD_ROWS_PER_TILE_2L, rows)
+        kernel = functools.partial(
+            _bwd_kernel_2l, sdf_c, unravel, steps, normals_eps, offsets,
+            inverse,
+        )
+        scratch = [
+            pltpu.VMEM((steps // k, 3, tile, LANES), dtype),  # checkpoints
+            pltpu.VMEM((k, 3, tile, LANES), dtype),  # segment replay
+        ]
+    else:
+        tile = min(BWD_ROWS_PER_TILE, rows)
+        kernel = functools.partial(
+            _bwd_kernel, sdf_c, unravel, steps, normals_eps, offsets, inverse
+        )
+        scratch = [pltpu.VMEM((steps, 3, tile, LANES), dtype)]
+    num_tiles = rows // tile
     plane_spec = pl.BlockSpec(
         (tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -170,7 +318,7 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
         + [pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_shape=[plane_out] * 6
         + [jax.ShapeDtypeStruct((num_tiles * 8, LANES), dtype)],
-        scratch_shapes=[pltpu.VMEM((steps, 3, tile, LANES), dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(flat_params[None, :], *[rays7[i] for i in range(7)], g8)
     gx, gy, gz, gvx, gvy, gvz, gtheta_tiles = outs
