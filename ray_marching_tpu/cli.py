@@ -22,6 +22,8 @@ import numpy as np
 
 def _add_render_args(p):
     p.add_argument("--scene", default="test_scene2")
+    p.add_argument("--scene-file", default=None,
+                   help="JSON scene file (overrides --scene)")
     p.add_argument("--width", type=int, default=1440)
     p.add_argument("--height", type=int, default=900)
     p.add_argument("--px-size", type=float, default=3.45e-6)
@@ -69,7 +71,12 @@ def _build_renderer(args):
         use_pallas=args.pallas,
         backward=args.backward,
     )
-    scene = registry.make_scene(args.scene)
+    if getattr(args, "scene_file", None):
+        from ray_marching_tpu.scene.serialize import load_scene
+
+        scene = load_scene(args.scene_file)
+    else:
+        scene = registry.make_scene(args.scene)
     if getattr(args, "fast", False):
         from ray_marching_tpu.render.fast import FastRenderer
 

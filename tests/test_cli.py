@@ -68,3 +68,34 @@ def test_png_roundtrip(tmp_path):
 def test_unknown_scene_errors():
     with pytest.raises(KeyError):
         run(["render", "--scene", "nope", "-o", "/tmp/x.png"])
+
+
+def test_scene_file_roundtrip_and_render(tmp_path):
+    from ray_marching_tpu.scene import registry
+    from ray_marching_tpu.scene.serialize import load_scene, save_scene
+
+    node = registry.make_scene("test_scene")
+    p = save_scene(tmp_path / "scene.json", node)
+    assert load_scene(p) == node  # frozen dataclasses: structural equality
+
+    out = tmp_path / "img.png"
+    run(["render", *BASE, "--scene-file", str(p), "--mode", "0", "-o", str(out)])
+    assert out.exists()
+
+
+def test_scene_file_neural_roundtrip(tmp_path):
+    from ray_marching_tpu.scene import registry
+    from ray_marching_tpu.scene.serialize import load_scene, save_scene
+
+    node = registry.make_scene("neural_demo")
+    p = save_scene(tmp_path / "scene.json", node)
+    assert load_scene(p) == node
+
+
+def test_scene_file_bad_type_errors(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text('{"type": "Nope"}')
+    from ray_marching_tpu.scene.serialize import load_scene
+
+    with pytest.raises(ValueError, match="unknown scene node type"):
+        load_scene(p)
