@@ -72,8 +72,12 @@ def _build_renderer(args):
         backward=args.backward,
     )
     if getattr(args, "scene_file", None):
+        from pathlib import Path
+
         from ray_marching_tpu.scene.serialize import load_scene
 
+        if not Path(args.scene_file).exists():
+            raise SystemExit(f"error: scene file not found: {args.scene_file}")
         scene = load_scene(args.scene_file)
     else:
         scene = registry.make_scene(args.scene)
