@@ -12,7 +12,9 @@ from ray_marching_tpu import quat
 from ray_marching_tpu.camera import Camera
 from ray_marching_tpu.scene import graph, registry
 from ray_marching_tpu.scene.graph import compile_scene
+from ray_marching_tpu.scene.serialize import load_scene, save_scene
 from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+from ray_marching_tpu.render.fast import FastRenderer
 
 __version__ = "0.1.0"
 
@@ -22,6 +24,9 @@ __all__ = [
     "graph",
     "registry",
     "compile_scene",
+    "load_scene",
+    "save_scene",
     "Renderer",
     "RenderConfig",
+    "FastRenderer",
 ]
