@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--modular", action="store_true",
+                    help="use the modular auto-sharded pipeline instead of "
+                         "the fused-Pallas shard_map path")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +43,9 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from ray_marching_tpu.parallel import fast_sharding as fs
     from ray_marching_tpu.parallel.sharding import make_mesh, make_train_step
+    from ray_marching_tpu.render.fast import FastRenderer
     from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
     from ray_marching_tpu.scene import registry
 
@@ -53,11 +58,19 @@ def main():
         focal_length=px * h, sensor_width=px * w, sensor_height=px * h,
         marching_steps=args.steps, remat=True,
     )
-    renderer = Renderer(registry.make_scene("test_scene2"), cfg, dtype=jnp.float32)
+    scene = registry.make_scene("test_scene2")
     optimizer = optax.adam(1e-3)
     q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float32)
     t = jnp.asarray([[0.0, 0.2, 2.5]], jnp.float32)
     target = jnp.zeros((1, h, w, 3), jnp.float32)
+
+    if args.modular:
+        renderer = Renderer(scene, cfg, dtype=jnp.float32)
+    else:
+        # Flagship path: fused Pallas fwd+bwd kernels under shard_map.
+        # rows must split into whole 8-row sublane tiles on every mesh size.
+        renderer = FastRenderer(scene, cfg, dtype=jnp.float32,
+                                row_multiple=8 * n_max)
 
     sizes = []
     n = 1
@@ -66,14 +79,22 @@ def main():
         n *= 2
     results = {}
     for n in sizes:
-        mesh = make_mesh((n,), ("rows",), devices=jax.devices()[:n])
-        step = make_train_step(renderer, mesh, optimizer, mode=0, degree=2)
+        devices = jax.devices()[:n]
+        if args.modular:
+            mesh = make_mesh((n,), ("rows",), devices=devices)
+            step = make_train_step(renderer, mesh, optimizer, mode=0, degree=2)
+            tgt = target
+        else:
+            mesh = make_mesh((n,), ("rays",), devices=devices)
+            step = fs.fast_train_step(renderer, mesh, optimizer, mode=0,
+                                      degree=2)
+            tgt = fs.target_planes(renderer, mesh, target)
         opt_state = optimizer.init(renderer.init_params)
-        params, opt_state, loss = step(renderer.init_params, opt_state, target, q, t)
+        params, opt_state, loss = step(renderer.init_params, opt_state, tgt, q, t)
         jax.block_until_ready(loss)
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            params, opt_state, loss = step(params, opt_state, target, q, t)
+            params, opt_state, loss = step(params, opt_state, tgt, q, t)
         jax.block_until_ready(loss)
         dt = (time.perf_counter() - t0) / args.iters
         rays = w * h / dt

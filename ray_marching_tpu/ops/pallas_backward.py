@@ -35,6 +35,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ray_marching_tpu.render.normals import make_offsets
 
 LANES = 128
+
+
+def _store_gtheta(gtheta_ref, gtheta):
+    """Spill the (P,) parameter cotangent across the tile's (gr, 128)
+    output block, row-major (gr = ceil(P/128) rounded up to the 8-row
+    sublane tile). Built from 2-D slices/pads/concat only — Mosaic has no
+    scatter (`.at[].set`) lowering, and the row count unrolls at trace
+    time."""
+    p = gtheta.shape[0]
+    gr = gtheta_ref.shape[0]
+    rows = []
+    for r in range(gr):
+        lo = r * LANES
+        if lo >= p:
+            rows.append(jnp.zeros((1, LANES), gtheta.dtype))
+            continue
+        hi = min(lo + LANES, p)
+        chunk = gtheta[None, lo:hi]
+        if hi - lo < LANES:
+            chunk = jnp.pad(chunk, ((0, 0), (0, LANES - (hi - lo))))
+        rows.append(chunk)
+    gtheta_ref[:] = jnp.concatenate(rows, axis=0)
 BWD_ROWS_PER_TILE = 64
 # Two-level recompute: log every K-th position only, re-march segments
 # during the reverse sweep. Scratch drops from steps×3 to (steps/K + K)×3
@@ -130,14 +152,7 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     gvx_ref[:] = gvx
     gvy_ref[:] = gvy
     gvz_ref[:] = gvz
-    # The parameter cotangent is a (P,) vector; store it in row 0 of this
-    # tile's (8, 128) output block (Mosaic requires tile-aligned outputs;
-    # pad+concat instead of .at[].set — scatter has no TPU lowering).
-    p = gtheta.shape[0]
-    row0 = jnp.pad(gtheta[None, :], ((0, 0), (0, LANES - p)))
-    gtheta_ref[:] = jnp.concatenate(
-        [row0, jnp.zeros((7, LANES), gtheta.dtype)], axis=0
-    )
+    _store_gtheta(gtheta_ref, gtheta)
 
 
 def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
@@ -251,11 +266,7 @@ def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     gvx_ref[:] = gvx
     gvy_ref[:] = gvy
     gvz_ref[:] = gvz
-    p = gtheta.shape[0]
-    row0 = jnp.pad(gtheta[None, :], ((0, 0), (0, LANES - p)))
-    gtheta_ref[:] = jnp.concatenate(
-        [row0, jnp.zeros((7, LANES), gtheta.dtype)], axis=0
-    )
+    _store_gtheta(gtheta_ref, gtheta)
 
 
 def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
@@ -301,7 +312,19 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
             _bwd_kernel, sdf_c, unravel, steps, normals_eps, offsets, inverse
         )
         scratch = [pltpu.VMEM((steps, 3, tile, LANES), dtype)]
-    num_tiles = rows // tile
+    # Pad rows to a tile multiple: rays edge-replicated (zero rays would sit
+    # at the world origin — a gradient singularity for scenes with a
+    # primitive centred there), cotangents zero — so pad rows recompute a
+    # benign real march and contribute exactly zero to every accumulator.
+    pad = -rows % tile
+    if pad:
+        rays7 = jnp.pad(rays7, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        g8 = jnp.pad(g8, ((0, 0), (0, pad), (0, 0)))
+    num_tiles = (rows + pad) // tile
+    # The (P,) parameter cotangent spills across ceil(P/128) lane rows,
+    # rounded up to the 8-row sublane tile (neural scenes exceed 128).
+    gtheta_rows = -(-p // LANES)
+    gr = -(-gtheta_rows // 8) * 8
     plane_spec = pl.BlockSpec(
         (tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -309,21 +332,27 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     g_spec = pl.BlockSpec(
         (8, tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    plane_out = jax.ShapeDtypeStruct((rows, LANES), dtype)
+    plane_out = jax.ShapeDtypeStruct((rows + pad, LANES), dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[params_spec] + [plane_spec] * 7 + [g_spec],
         out_specs=[plane_spec] * 6
-        + [pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        + [pl.BlockSpec((gr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_shape=[plane_out] * 6
-        + [jax.ShapeDtypeStruct((num_tiles * 8, LANES), dtype)],
+        + [jax.ShapeDtypeStruct((num_tiles * gr, LANES), dtype)],
         scratch_shapes=scratch,
         interpret=interpret,
     )(flat_params[None, :], *[rays7[i] for i in range(7)], g8)
     gx, gy, gz, gvx, gvy, gvz, gtheta_tiles = outs
+    if pad:
+        gx, gy, gz, gvx, gvy, gvz = (
+            a[:rows] for a in (gx, gy, gz, gvx, gvy, gvz)
+        )
     rays7_cot = jnp.stack(
         [gx, gy, gz, gvx, gvy, gvz, jnp.zeros_like(gx)], axis=0
     )
-    gtheta = jnp.sum(gtheta_tiles.reshape(num_tiles, 8, LANES)[:, 0, :p], axis=0)
+    gtheta = jnp.sum(
+        gtheta_tiles.reshape(num_tiles, gr * LANES)[:, :p], axis=0
+    )
     return gtheta, rays7_cot

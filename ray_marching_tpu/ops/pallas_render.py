@@ -131,7 +131,15 @@ def fused_march_normals(sdf_c, unravel, flat_params, rays7, steps, tau,
     """rays7 (7, rows, 128) → (8, rows, 128): x y z d nx ny nz lap."""
     rows = rays7.shape[1]
     rows_per_tile = min(DEFAULT_ROWS_PER_TILE, rows)
-    num_tiles = rows // rows_per_tile
+    # Rows may not divide the tile (e.g. multi-camera stacks of 8-row-padded
+    # blocks): pad by edge-replicating real rays (zero padding would park
+    # the pad rays exactly at the world origin — a gradient singularity for
+    # scenes with a primitive centred there) and slice the outputs back.
+    # Pad rows march like their source rows; their outputs are discarded.
+    pad = -rows % rows_per_tile
+    if pad:
+        rays7 = jnp.pad(rays7, ((0, 0), (0, pad), (0, 0)), mode="edge")
+    num_tiles = (rows + pad) // rows_per_tile
     dtype = rays7.dtype
     # Constants must match the ray dtype (f64 numpy scalars would promote
     # f32 planes under x64 and break the kernel's typed ref stores).
@@ -146,7 +154,7 @@ def fused_march_normals(sdf_c, unravel, flat_params, rays7, steps, tau,
     params_spec = pl.BlockSpec(
         (1, flat_params.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
-    out_shape = jax.ShapeDtypeStruct((rows, LANES), dtype)
+    out_shape = jax.ShapeDtypeStruct((rows + pad, LANES), dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -155,7 +163,8 @@ def fused_march_normals(sdf_c, unravel, flat_params, rays7, steps, tau,
         out_shape=[out_shape] * 8,
         interpret=interpret,
     )(flat_params[None, :], *[rays7[i] for i in range(7)])
-    return jnp.stack(outs, axis=0)
+    out = jnp.stack(outs, axis=0)
+    return out[:, :rows] if pad else out
 
 
 def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7):

@@ -136,6 +136,15 @@ def optimize(renderer, target, orientation, translation,
             grads["translation"] = jnp.zeros_like(grads["translation"])
         gnorm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, state)
+        # Zeroed *gradients* alone don't freeze under adamw: its decoupled
+        # weight decay contributes updates from params regardless of the
+        # gradient. Zero the computed updates for frozen leaves too.
+        updates["params"] = jax.tree.map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates["params"], mask
+        )
+        if not config.optimize_pose:
+            updates["orientation"] = jnp.zeros_like(updates["orientation"])
+            updates["translation"] = jnp.zeros_like(updates["translation"])
         state = optax.apply_updates(state, updates)
         state["params"] = _renormalize_quaternions(state["params"])
         state["orientation"] = state["orientation"] / jnp.linalg.norm(

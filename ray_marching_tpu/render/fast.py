@@ -58,7 +58,8 @@ class FastRenderer:
     """
 
     def __init__(self, scene: Node, config: RenderConfig, dtype=jnp.float32,
-                 grid_dtype=np.float32, interpret: Optional[bool] = None):
+                 grid_dtype=np.float32, interpret: Optional[bool] = None,
+                 row_multiple: Optional[int] = None):
         if interpret is None:
             # Mosaic kernels only compile for TPU; interpret elsewhere.
             interpret = jax.default_backend() == "cpu"
@@ -73,6 +74,12 @@ class FastRenderer:
         self.num_cameras = config.num_cameras
         self.total = h * w  # rays per camera
         tile = ROWS_PER_TILE if self.total >= ROWS_PER_TILE * LANES else 8
+        # row_multiple: extra row-count divisibility (sharded rendering needs
+        # rows % (8 · mesh size) == 0 so every device gets whole 8-row
+        # sublane tiles).
+        if row_multiple:
+            tile = max(tile, row_multiple) if tile % row_multiple == 0 \
+                else tile * row_multiple // math.gcd(tile, row_multiple)
         self.rows_per_cam = -(-self.total // (LANES * tile)) * tile
         self.rows = self.rows_per_cam * self.num_cameras
 
@@ -99,15 +106,21 @@ class FastRenderer:
 
     # -- pure pieces -------------------------------------------------------
 
-    def _pose_planes(self, orientation, translation):
-        """World-space position/direction planes, cameras stacked row-wise."""
+    def _pose_planes(self, orientation, translation, pos0=None, dir0=None):
+        """World-space position/direction planes, cameras stacked row-wise.
+
+        ``pos0``/``dir0`` override the baked-in camera-frame planes — the
+        sharded path passes each device's row shard of them (single-camera
+        only, so no per-camera stacking applies)."""
+        pos0 = self._pos0 if pos0 is None else pos0
+        dir0 = self._dir0 if dir0 is None else dir0
         pos, dirs = [], []
         for n in range(self.num_cameras):
             qw, qx, qy, qz = (orientation[n, i] for i in range(4))
             tx, ty, tz = (translation[n, i] for i in range(3))
-            px, py, pz = quat.rotate_c(qw, qx, qy, qz, *self._pos0)
+            px, py, pz = quat.rotate_c(qw, qx, qy, qz, *pos0)
             pos.append((px + tx, py + ty, pz + tz))
-            dirs.append(quat.rotate_c(qw, qx, qy, qz, *self._dir0))
+            dirs.append(quat.rotate_c(qw, qx, qy, qz, *dir0))
         cat = lambda blocks: jnp.concatenate(blocks, axis=0)
         if self.num_cameras == 1:
             return pos[0], dirs[0]
@@ -132,18 +145,29 @@ class FastRenderer:
             outs.append(fn(n, *sliced))
         return [jnp.concatenate([o[c] for o in outs], axis=0) for c in range(3)]
 
-    def _masked_min(self, v):
+    def _masked_min(self, v, valid_b=None, axis_names=()):
+        """Global masked min; ``axis_names`` extends it across mesh axes
+        (explicit ``lax.pmin`` for use inside ``shard_map``, matching the
+        reference's whole-image reductions, shader.py:34-37,51-54,83-84)."""
+        valid_b = self._valid_b if valid_b is None else valid_b
         big = jnp.asarray(np.finfo(np.float32).max, v.dtype)
-        return jnp.min(jnp.where(self._valid_b, v, big))
+        out = jnp.min(jnp.where(valid_b, v, big))
+        if axis_names:
+            out = jax.lax.pmin(out, axis_names)
+        return out
 
-    def _masked_max(self, v):
+    def _masked_max(self, v, valid_b=None, axis_names=()):
+        valid_b = self._valid_b if valid_b is None else valid_b
         big = jnp.asarray(np.finfo(np.float32).max, v.dtype)
-        return jnp.max(jnp.where(self._valid_b, v, -big))
+        out = jnp.max(jnp.where(valid_b, v, -big))
+        if axis_names:
+            out = jax.lax.pmax(out, axis_names)
+        return out
 
-    def _log_minmax_norm(self, dists):
+    def _log_minmax_norm(self, dists, valid_b=None, axis_names=()):
         log_d = jnp.log(clamp(dists, 1e-2))
-        lo = self._masked_min(log_d)
-        hi = self._masked_max(log_d)
+        lo = self._masked_min(log_d, valid_b, axis_names)
+        hi = self._masked_max(log_d, valid_b, axis_names)
         return ((log_d - lo) / (hi - lo)) ** (1.0 / 2.33)
 
     def _angle_colouring(self, real, imag, degree):
@@ -160,8 +184,12 @@ class FastRenderer:
         brightness = jnp.sqrt(real * real + imag * imag)
         return [brightness * c for c in cols]
 
-    def _shade(self, mode, degree, orientation, origin, dirs, hit):
-        """Componentwise shaders on planes; returns [r, g, b] planes."""
+    def _shade(self, mode, degree, orientation, origin, dirs, hit,
+               valid_b=None, axis_names=()):
+        """Componentwise shaders on planes; returns [r, g, b] planes.
+
+        ``valid_b``/``axis_names`` override the global-normalization mask
+        for sharded row shards (inside ``shard_map``)."""
         x, y, z, d, nx, ny, nz, lap = hit
         dx, dy, dz = dirs
         name = shaders.MODES[mode % len(shaders.MODES)]
@@ -171,10 +199,10 @@ class FastRenderer:
         if name == "distance":
             ox, oy, oz = origin
             dist = jnp.sqrt((ox - x) ** 2 + (oy - y) ** 2 + (oz - z) ** 2)
-            v = self._log_minmax_norm(dist)
+            v = self._log_minmax_norm(dist, valid_b, axis_names)
             return [v, v, v]
         if name == "proximity":
-            v = self._log_minmax_norm(d)
+            v = self._log_minmax_norm(d, valid_b, axis_names)
             return [v, v, v]
         if name == "vignette":
             def vignette_cam(n, dirs_n):
@@ -189,7 +217,7 @@ class FastRenderer:
         if name == "normal":
             return [clamp(jnp.abs(c), 0.0, 1.0) for c in (nx, ny, nz)]
         if name == "laplacian":
-            hi = self._masked_max(jnp.abs(lap))
+            hi = self._masked_max(jnp.abs(lap), valid_b, axis_names)
             v = clamp((1.0 - lap / hi) / 2.0, 0.0, 1.0) ** (1.0 / 2.33)
             return [v, v, v]
         if name == "tangent":
@@ -221,11 +249,13 @@ class FastRenderer:
 
     # -- public API --------------------------------------------------------
 
-    def _march_planes(self, params, origin, dirs, steps):
+    def _march_planes(self, params, origin, dirs, steps, valid=None):
         """Fused march (+ optional reflection bounces, reference mirror
         formula control.py:179-194); returns the 8 hit planes and the final
-        (possibly reflected) direction planes."""
+        (possibly reflected) direction planes. ``valid`` overrides the
+        baked-in validity plane (sharded row shards)."""
         cfg = self.config
+        valid = self._valid if valid is None else valid
         flat_params, unravel = ravel_params_padded(params, self.dtype)
         march = (
             fused_march_normals_ift
@@ -234,7 +264,7 @@ class FastRenderer:
         )
 
         def run(origin, dirs):
-            rays7 = jnp.stack(list(origin) + list(dirs) + [self._valid], axis=0)
+            rays7 = jnp.stack(list(origin) + list(dirs) + [valid], axis=0)
             out = march(
                 self.sdf_c, unravel, flat_params, rays7, steps, cfg.tau,
                 cfg.normals_eps, self.interpret,
@@ -280,6 +310,22 @@ class FastRenderer:
                 )
             )
         return jnp.stack(frames, axis=0)
+
+    def image_to_planes(self, image):
+        """Inverse of :meth:`_assemble`: (N, H, W, 3) image → (3, rows, 128)
+        channel planes (pad slots zero). Used to lay a target image out like
+        the sharded render's channel output for plane-space losses."""
+        chans = []
+        for c in range(3):
+            blocks = []
+            for n in range(self.num_cameras):
+                flat = image[n, :, :, c].reshape(-1)
+                flat = jnp.pad(
+                    flat, (0, self.rows_per_cam * LANES - self.total)
+                )
+                blocks.append(flat.reshape(self.rows_per_cam, LANES))
+            chans.append(jnp.concatenate(blocks, axis=0))
+        return jnp.stack(chans, axis=0)
 
     def render_all_modes(self, params, orientation, translation, *,
                          degree: int = 1, marching_steps: Optional[int] = None):

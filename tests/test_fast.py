@@ -181,6 +181,91 @@ def test_implicit_backward_matches_modular_implicit():
         )
 
 
+def test_multi_camera_rows_cross_tile_boundary():
+    """Six cameras × 24 rows = 144 stacked rows — NOT a multiple of the
+    fused kernels' 128-row (fwd) / 64-row (bwd) tiles. Round 1 truncated
+    the grid to floor(rows/tile) tiles, silently never marching the last
+    cameras (camera 5 rendered all-NaN). The kernels now pad rows to a
+    tile multiple internally."""
+    cfg = RenderConfig(
+        num_cameras=6, px_width=64, px_height=48,
+        focal_length=PX * 48, sensor_width=PX * 64, sensor_height=PX * 48,
+        marching_steps=12,
+    )
+    node = registry.make_scene("test_scene2")
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    assert f.rows == 144 and f.rows % 128 != 0  # the failing configuration
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((6, 4)))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = jnp.asarray(rng.standard_normal((6, 3)) * 0.3 + [0.0, 0.0, 2.0])
+    img = np.asarray(f.render(f.init_params, q, t, mode=0, degree=1))
+    assert img.shape == (6, 48, 64, 3)
+    assert np.isfinite(img).all()
+
+    # Every camera must match the same pose rendered alone (lambertian has
+    # no cross-camera normalization coupling).
+    cfg1 = RenderConfig(
+        num_cameras=1, px_width=64, px_height=48,
+        focal_length=PX * 48, sensor_width=PX * 64, sensor_height=PX * 48,
+        marching_steps=12,
+    )
+    f1 = FastRenderer(node, cfg1, dtype=jnp.float64, grid_dtype=np.float64,
+                      interpret=True)
+    for n in range(6):
+        one = np.asarray(
+            f1.render(f1.init_params, q[n:n + 1], t[n:n + 1], mode=0, degree=1)
+        )
+        np.testing.assert_allclose(img[n], one[0], rtol=1e-12, atol=1e-14,
+                                   err_msg=f"camera {n}")
+
+    # Gradient path: rows=144 also exercises the fused backward's 64-row
+    # tile padding (144 % 64 = 16).
+    g = jax.grad(
+        lambda p: jnp.sum(f.render(p, q, t, mode=0, degree=1) ** 2)
+    )(f.init_params)
+    flat = param_paths(g)
+    assert all(np.isfinite(np.asarray(v)).all() for v in flat.values())
+    assert any(np.abs(np.asarray(v)).max() > 0 for v in flat.values())
+
+
+def test_neural_scene_fast_gradients():
+    """Neural scenes have >128 flat parameters (the default (16,16) MLP is
+    354): the fused backward's per-tile parameter cotangent must spill
+    across multiple 128-lane rows (round 1 raised on jnp.pad with negative
+    width). Pin against the modular renderer's gradients."""
+    from jax.flatten_util import ravel_pytree
+
+    cfg = RenderConfig(
+        px_width=32, px_height=24,
+        focal_length=PX * 24, sensor_width=PX * 32, sensor_height=PX * 24,
+        marching_steps=8,
+    )
+    node = registry.make_scene("neural_demo")
+    r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    flat, _ = ravel_pytree(f.init_params)
+    assert flat.shape[0] > 128  # the failing configuration
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]], jnp.float64)
+    t = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float64)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((1, 24, 32, 3)))
+
+    def loss(render_fn, params):
+        return jnp.sum(render_fn(params, q, t, mode=0, degree=1) * w)
+
+    g1 = param_paths(jax.grad(lambda p: loss(r.render, p))(r.init_params))
+    g2 = param_paths(jax.grad(lambda p: loss(f.render, p))(f.init_params))
+    assert set(g1) == set(g2)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-6, atol=1e-10,
+            err_msg=k,
+        )
+
+
 def test_multi_camera_matches_modular():
     """Two-camera batch: cameras stack along plane rows; global shader
     normalizations span the whole batch (reference semantics). Spin/tangent

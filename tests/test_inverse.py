@@ -146,3 +146,32 @@ def test_optimize_with_fast_renderer(setup):
                       trainable=["c1/c0/radius"]),
     )
     assert abs(float(out["params"]["c1"]["c0"]["radius"]) - 0.65) < 0.03
+
+
+def test_adamw_freezes_masked_leaves_and_pose(setup):
+    """adamw's decoupled weight decay contributes updates from params even
+    when gradients are zeroed — round 1 let masked leaves and the frozen
+    pose drift every step. Updates are now masked too."""
+    r, q, t, target = setup
+    cfg = InverseConfig(
+        learning_rate=2e-2, steps=5, mode=0, degree=1,
+        optimizer="adamw", trainable=["c1/c0/radius"], optimize_pose=False,
+    )
+    out = optimize(r, target, q, t, cfg)
+    # The one trainable leaf moved...
+    assert float(out["params"]["c1"]["c0"]["radius"]) != float(
+        r.init_params["c1"]["c0"]["radius"]
+    )
+    # ...every other leaf and the pose did not (bitwise).
+    from ray_marching_tpu.scene.graph import param_paths
+
+    before = param_paths(r.init_params)
+    after = param_paths(out["params"])
+    for k in before:
+        if k == "c1/c0/radius":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(before[k]), np.asarray(after[k]), err_msg=k
+        )
+    np.testing.assert_array_equal(np.asarray(out["orientation"]), np.asarray(q))
+    np.testing.assert_array_equal(np.asarray(out["translation"]), np.asarray(t))

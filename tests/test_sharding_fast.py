@@ -1,0 +1,132 @@
+"""Sharded fused-kernel (FastRenderer) path: pixel + gradient parity vs the
+single-device fast renderer on the virtual 8-device CPU mesh.
+
+The global shader normalizations run as explicit lax.pmin/pmax inside
+shard_map (reference rendering/shader.py:34-37,51-54,83-84 under sharding);
+scene-parameter cotangents from every row shard are psum-reduced by
+shard_map's transpose.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ray_marching_tpu.parallel import fast_sharding as fs
+from ray_marching_tpu.parallel.sharding import make_mesh
+from ray_marching_tpu.render.fast import FastRenderer
+from ray_marching_tpu.render.pipeline import RenderConfig
+from ray_marching_tpu.scene import registry
+from ray_marching_tpu.scene.graph import param_paths
+
+PX = 3.45e-6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = RenderConfig(
+        px_width=96, px_height=64,
+        focal_length=PX * 64, sensor_width=PX * 96, sensor_height=PX * 64,
+        marching_steps=12,
+    )
+    node = registry.make_scene("test_scene2")
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True, row_multiple=64)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float64)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float64)
+    return f, q, t
+
+
+@pytest.mark.parametrize("mode", range(8))
+def test_sharded_fast_matches_single_device(setup, mode):
+    f, q, t = setup
+    mesh = make_mesh((8,), ("rays",))
+    a = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=2))
+    render = fs.fast_shard_render(f, mesh, mode=mode, degree=2)
+    b = np.asarray(render(f.init_params, q, t))
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-11, equal_nan=True)
+
+
+def test_sharded_fast_2d_mesh(setup):
+    f, q, t = setup
+    mesh = make_mesh((2, 4), ("host", "chip"))
+    a = np.asarray(f.render(f.init_params, q, t, mode=2, degree=1))
+    render = fs.fast_shard_render(f, mesh, mode=2, degree=1)
+    b = np.asarray(render(f.init_params, q, t))
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-11)
+
+
+def test_sharded_fast_gradients_match(setup):
+    """The plane-space sharded loss equals the image-space single-device
+    loss, and every scene-parameter gradient agrees (psum'd cotangents)."""
+    f, q, t = setup
+    mesh = make_mesh((2, 4), ("host", "chip"))
+    true = jax.tree.map(lambda x: x, f.init_params)
+    true["c1"]["c0"]["radius"] = jnp.asarray(0.65, jnp.float64)
+    target_img = f.render(true, q, t, mode=0, degree=1)
+    tp = fs.target_planes(f, mesh, target_img)
+
+    def loss_sd(p):
+        img = f.render(p, q, t, mode=0, degree=1)
+        return jnp.mean((img - target_img) ** 2)
+
+    chan = fs.make_channel_fn(f, mesh, mode=0, degree=1)
+
+    def loss_sh(p):
+        ch = chan(p, q, t)
+        err = (ch - tp) * f._valid[None]
+        return jnp.sum(err * err) / (f.total * 3)
+
+    l0, g0 = jax.value_and_grad(loss_sd)(f.init_params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_sh))(f.init_params)
+    assert abs(float(l0) - float(l1)) < 1e-15
+    p0, p1 = param_paths(g0), param_paths(g1)
+    assert set(p0) == set(p1)
+    for k in p0:
+        np.testing.assert_allclose(
+            np.asarray(p0[k]), np.asarray(p1[k]), rtol=1e-9, atol=1e-12,
+            err_msg=k,
+        )
+
+
+def test_sharded_fast_train_step_recovers_radius(setup):
+    """BASELINE config 4 on the sharded fused path: the train step descends
+    and moves the perturbed radius toward truth."""
+    f, q, t = setup
+    mesh = make_mesh((8,), ("rays",))
+    true = jax.tree.map(lambda x: x, f.init_params)
+    true["c1"]["c0"]["radius"] = jnp.asarray(0.65, jnp.float64)
+    target_img = f.render(true, q, t, mode=0, degree=1)
+    tp = fs.target_planes(f, mesh, target_img)
+
+    opt = optax.adam(2e-2)
+    step = fs.fast_train_step(f, mesh, opt, mode=0, degree=1)
+    params, opt_state = f.init_params, opt.init(f.init_params)
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, tp, q, t)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.75
+    r0 = float(f.init_params["c1"]["c0"]["radius"])
+    assert abs(float(params["c1"]["c0"]["radius"]) - 0.65) < abs(r0 - 0.65)
+
+
+def test_row_multiple_validation():
+    cfg = RenderConfig(px_width=16, px_height=8, marching_steps=4)
+    f = FastRenderer(registry.make_scene("single_sphere"), cfg,
+                     interpret=True)
+    mesh = make_mesh((8,), ("rays",))
+    with pytest.raises(ValueError, match="row_multiple"):
+        fs.make_channel_fn(f, mesh)
+
+
+def test_multi_camera_rejected():
+    cfg = RenderConfig(num_cameras=2, px_width=16, px_height=8,
+                       marching_steps=4)
+    f = FastRenderer(registry.make_scene("single_sphere"), cfg,
+                     interpret=True)
+    mesh = make_mesh((8,), ("rays",))
+    with pytest.raises(ValueError, match="single-camera"):
+        fs.make_channel_fn(f, mesh)
