@@ -253,24 +253,25 @@ def _tail_planes(sdf_c, unravel, normals_eps, valid, flat_params, x, y, z):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7, 8, 9))
 def fused_march_normals_ift(sdf_c, unravel, flat_params, rays7, steps, tau,
-                            normals_eps, interpret):
+                            normals_eps, interpret, hit_threshold=0.05,
+                            denom_eps=1e-6):
     return fused_march_normals(
         sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
     )
 
 
 def _ift_fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
-             interpret):
+             interpret, hit_threshold, denom_eps):
     out = fused_march_normals(
         sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
     )
     return out, (flat_params, rays7, out)
 
 
-def _ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g,
-             hit_threshold=0.05, denom_eps=1e-6):
+def _ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret,
+             hit_threshold, denom_eps, residuals, g):
     flat_params, rays7, out = residuals
     x, y, z = out[0], out[1], out[2]
     d_star = out[3]

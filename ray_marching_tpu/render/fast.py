@@ -257,11 +257,14 @@ class FastRenderer:
         cfg = self.config
         valid = self._valid if valid is None else valid
         flat_params, unravel = ravel_params_padded(params, self.dtype)
-        march = (
-            fused_march_normals_ift
-            if cfg.backward == "implicit"
-            else fused_march_normals
-        )
+        if cfg.backward == "implicit":
+            # custom_vjp takes positional args only.
+            def march(*args):
+                return fused_march_normals_ift(
+                    *args, cfg.ift_hit_threshold, cfg.ift_denom_eps
+                )
+        else:
+            march = fused_march_normals
 
         def run(origin, dirs):
             rays7 = jnp.stack(list(origin) + list(dirs) + [valid], axis=0)

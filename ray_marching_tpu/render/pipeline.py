@@ -49,6 +49,11 @@ class RenderConfig:
     tau: float = 0.0
     remat: bool = False
     backward: str = "unroll"  # 'unroll' (exact parity) | 'implicit' (IFT, fast)
+    # IFT backward knobs: rays whose terminal |f| exceeds the hit threshold
+    # get zero parameter gradient (no fixed point to differentiate); the
+    # v·∇f denominator is clamped away from 0 for grazing rays.
+    ift_hit_threshold: float = 0.05
+    ift_denom_eps: float = 1e-6
     reflection_bounces: int = 0
     use_autodiff_normals: bool = False
     use_pallas: bool = False
@@ -177,7 +182,8 @@ class Renderer:
             from ray_marching_tpu.render.implicit import march_implicit
 
             marcher = lambda p, v: march_implicit(
-                self.sdf_vec, params, p, v, steps, cfg.tau
+                self.sdf_vec, params, p, v, steps, cfg.tau,
+                cfg.ift_hit_threshold, cfg.ift_denom_eps,
             )
         else:
             marcher = lambda p, v: march_mod.march(

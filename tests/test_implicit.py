@@ -102,3 +102,66 @@ def test_pipeline_backward_implicit_runs():
     assert np.isfinite(float(val))
     flat = param_paths(grads)
     assert all(np.isfinite(np.asarray(v)).all() for v in flat.values())
+
+
+def test_ift_knobs_configurable_via_render_config():
+    """ift_hit_threshold / ift_denom_eps flow from RenderConfig into both
+    the modular and fused IFT backwards (round 1 hardcoded them). Tested at
+    the march boundary (p* is smooth in params; the shaders' min/max
+    normalizations have pow-at-0 singularities at the arg-extremum pixel
+    that would mask the gating): a negative hit threshold classifies every
+    ray as a miss (rays can converge to exactly |f| = 0 in f64, so no
+    positive threshold excludes them all) -> exactly zero scene-parameter
+    gradients; widening denom_eps rescales grazing-ray gradients."""
+    import dataclasses
+
+    from ray_marching_tpu.render.fast import FastRenderer
+    from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+
+    PX = 3.45e-6
+    base = RenderConfig(
+        px_width=48, px_height=32,
+        focal_length=PX * 32, sensor_width=PX * 48, sensor_height=PX * 32,
+        marching_steps=24, backward="implicit",
+    )
+    node = registry.make_scene("test_scene2")
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float64)
+    t = jnp.asarray([[0.0, 0.2, 2.0]], jnp.float64)
+    rng = np.random.default_rng(7)
+    w_img = jnp.asarray(rng.standard_normal((1, 32, 48, 3)))
+
+    def modular_grads(cfg):
+        r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
+        _, _, ray_pos, ray_dirs = r.camera.pose(q, t)
+
+        def loss(p):
+            p_star, _ = r._march(p, ray_pos, ray_dirs, cfg.marching_steps)
+            return jnp.sum(p_star * w_img)
+
+        return param_paths(jax.grad(loss)(r.init_params))
+
+    def fast_grads(cfg):
+        f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                         interpret=True)
+        origin, dirs = f._pose_planes(q, t)
+
+        def loss(p):
+            hit, _ = f._march_planes(p, origin, dirs, cfg.marching_steps)
+            # endpoint planes only (x, y, z), masked to real rays
+            return sum(jnp.sum(hit[i] * f._valid) for i in range(3))
+
+        return param_paths(jax.grad(loss)(f.init_params))
+
+    for grads in (modular_grads, fast_grads):
+        g_default = grads(base)
+        assert any(np.abs(np.asarray(v)).max() > 0 for v in g_default.values())
+        assert all(np.isfinite(np.asarray(v)).all() for v in g_default.values())
+        # Nothing counts as a hit -> zero parameter gradients everywhere.
+        g_none = grads(dataclasses.replace(base, ift_hit_threshold=-1.0))
+        assert all(np.abs(np.asarray(v)).max() == 0 for v in g_none.values())
+        # Grazing-ray sensitivity: a huge denom_eps rescales the gradients.
+        g_wide = grads(dataclasses.replace(base, ift_denom_eps=10.0))
+        assert any(
+            not np.allclose(np.asarray(g_default[k]), np.asarray(g_wide[k]))
+            for k in g_default
+        )
