@@ -228,7 +228,14 @@ def _read_png(path):
 
 
 def cmd_interactive(args):
-    from ray_marching_tpu.viewer import PNGSink, PynputInput, orbit_script, run_viewer
+    from ray_marching_tpu.viewer import (
+        MultiSink,
+        PNGSink,
+        PynputInput,
+        TerminalSink,
+        orbit_script,
+        run_viewer,
+    )
 
     renderer = _build_renderer(args)
     if args.orbit:
@@ -240,15 +247,35 @@ def cmd_interactive(args):
             print(f"pynput unavailable ({exc}); falling back to --orbit")
             source = orbit_script(args.frames)
     sink = PNGSink(args.out, every=args.save_every)
+    if args.display == "term":
+        # Live ANSI half-block preview in the terminal + PNGs on disk.
+        sink = MultiSink(TerminalSink(), sink)
     camera, session, frames = run_viewer(
-        renderer, source, sink, max_frames=args.frames
+        renderer, source, sink, max_frames=args.frames,
+        print_fps=args.display != "term",
     )
     print(f"rendered {frames} frames to {args.out}")
 
 
 def cmd_bench(args):
-    import bench
+    # bench.py lives at the repo root, not in the package: import it by
+    # path so `cli bench` works from any CWD, and surface its env knobs as
+    # flags.
+    import importlib.util
+    import os
+    from pathlib import Path
 
+    if args.backward:
+        os.environ["BENCH_BACKWARD"] = args.backward
+    if args.no_fast:
+        os.environ["BENCH_FAST"] = "0"
+    if args.pallas:
+        os.environ["BENCH_PALLAS"] = "1"
+    bench_path = Path(__file__).resolve().parent.parent / "bench.py"
+    spec = importlib.util.spec_from_file_location("bench", bench_path)
+    bench = importlib.util.module_from_spec(spec)
+    sys.modules["bench"] = bench
+    spec.loader.exec_module(bench)
     bench.main()
 
 
@@ -303,9 +330,17 @@ def main(argv=None):
                    help="scripted orbit instead of mouse/keyboard")
     p.add_argument("--save-every", type=int, default=1)
     p.add_argument("-o", "--out", default="frames")
+    p.add_argument("--display", choices=["none", "term"], default="none",
+                   help="'term' = live ANSI half-block preview in-terminal")
     p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("bench", help="run the rays/s benchmark")
+    p.add_argument("--backward", choices=["remat", "unroll", "implicit"],
+                   default=None, help="backward mode (default remat)")
+    p.add_argument("--no-fast", action="store_true",
+                   help="modular pipeline instead of the fused fast path")
+    p.add_argument("--pallas", action="store_true",
+                   help="route the modular march through the Pallas kernel")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("profile", help="write a jax.profiler trace")

@@ -46,6 +46,19 @@ class InverseConfig:
     checkpoint_dir: Optional[str] = None
     metrics_path: Optional[str] = None
     loss: str = "l2"  # l2 | l1
+    # Silhouette-aware loss: with beta > 0 the render is composited with a
+    # soft coverage mask (render/silhouette.py) against `background`, so
+    # the pixel loss carries gradient signal across object silhouettes —
+    # pixel-only shape/pose fits that otherwise stall converge (see
+    # tests/test_silhouette.py). Requires the renderer to support
+    # render_with_alpha (the modular Renderer). Pass ``target_alpha`` to
+    # optimize() to additionally supervise the mask directly
+    # (weight ``silhouette_weight``) — necessary when the shading itself is
+    # degenerate at the silhouette (e.g. background pixels shade to the
+    # background value, zeroing the composite's ∂/∂α term).
+    silhouette_beta: float = 0.0
+    silhouette_weight: float = 1.0
+    background: float = 0.0
 
 
 def _make_optimizer(cfg: InverseConfig):
@@ -79,7 +92,8 @@ def optimize(renderer, target, orientation, translation,
              config: InverseConfig = InverseConfig(),
              init_params=None,
              resume_from: Optional[str] = None,
-             callback: Optional[Callable] = None):
+             callback: Optional[Callable] = None,
+             target_alpha=None):
     """Run the inverse-rendering loop.
 
     Args:
@@ -114,15 +128,33 @@ def optimize(renderer, target, orientation, translation,
 
     target = jnp.asarray(target, renderer.dtype)
 
+    if target_alpha is not None:
+        target_alpha = jnp.asarray(target_alpha, renderer.dtype)
+
     def loss_fn(state):
-        image = renderer.render(
-            state["params"], state["orientation"], state["translation"],
-            mode=config.mode, degree=config.degree,
-        )
+        extra = 0.0
+        if config.silhouette_beta > 0:
+            from ray_marching_tpu.render.silhouette import composite
+
+            image, alpha = renderer.render_with_alpha(
+                state["params"], state["orientation"], state["translation"],
+                mode=config.mode, degree=config.degree,
+                beta=config.silhouette_beta,
+            )
+            image = composite(image, alpha, config.background)
+            if target_alpha is not None:
+                extra = config.silhouette_weight * jnp.mean(
+                    (alpha - target_alpha) ** 2
+                )
+        else:
+            image = renderer.render(
+                state["params"], state["orientation"], state["translation"],
+                mode=config.mode, degree=config.degree,
+            )
         err = image - target
         if config.loss == "l1":
-            return jnp.mean(jnp.abs(err))
-        return jnp.mean(err**2)
+            return jnp.mean(jnp.abs(err)) + extra
+        return jnp.mean(err**2) + extra
 
     @jax.jit
     def step_fn(state, opt_state):

@@ -37,7 +37,7 @@ from ray_marching_tpu.ops.pallas_render import (
 from ray_marching_tpu.render import shaders
 from ray_marching_tpu.render.pipeline import RenderConfig
 from ray_marching_tpu.scene.graph import Node, compile_scene
-from ray_marching_tpu.utils import clamp
+from ray_marching_tpu.utils import clamp, rmin, rmax
 
 LANES = 128
 ROWS_PER_TILE = 256
@@ -151,7 +151,10 @@ class FastRenderer:
         reference's whole-image reductions, shader.py:34-37,51-54,83-84)."""
         valid_b = self._valid_b if valid_b is None else valid_b
         big = jnp.asarray(np.finfo(np.float32).max, v.dtype)
-        out = jnp.min(jnp.where(valid_b, v, big))
+        # rmin/rmax: select-backward reductions (torch Tensor.min semantics)
+        # so a NaN cotangent at the arg-extremum stays there instead of
+        # spreading to every plane slot (utils.rmin).
+        out = rmin(jnp.where(valid_b, v, big))
         if axis_names:
             out = jax.lax.pmin(out, axis_names)
         return out
@@ -159,7 +162,7 @@ class FastRenderer:
     def _masked_max(self, v, valid_b=None, axis_names=()):
         valid_b = self._valid_b if valid_b is None else valid_b
         big = jnp.asarray(np.finfo(np.float32).max, v.dtype)
-        out = jnp.max(jnp.where(valid_b, v, -big))
+        out = rmax(jnp.where(valid_b, v, -big))
         if axis_names:
             out = jax.lax.pmax(out, axis_names)
         return out

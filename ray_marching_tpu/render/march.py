@@ -70,6 +70,45 @@ def march(sdf_vec, params, ray_positions, ray_directions, steps: int,
     return final
 
 
+def march_with_closest(sdf_vec, params, ray_positions, ray_directions,
+                       steps: int, *, tau: float = 0.0, remat: bool = False):
+    """March and track the along-ray **closest approach** ``min_i f(p_i)``.
+
+    The closest approach is the quantity silhouette-aware gradients need:
+    for a ray that misses the surface, ``min_f`` is a smooth function of
+    the scene parameters (it decreases as the surface moves toward the
+    ray), whereas the hit/miss indicator itself is a step function with no
+    usable gradient — the documented stall of pixel-only losses in
+    differentiable sphere tracing (cf. PAPERS.md, "Differentiable Rendering
+    of Neural SDFs through Reparameterization", and the DIST-style soft
+    silhouette masks it compares against). ``render/silhouette.py`` turns
+    it into a soft coverage mask.
+
+    Returns:
+        (marched positions (..., 3), min_f (..., 1)).
+    """
+
+    def step(carry, _):
+        p, min_f = carry
+        d = sdf_vec(params, p)
+        if tau != 0.0:
+            done = jnp.abs(d) < tau
+            p_next = jnp.where(done, p, p + d * ray_directions)
+        else:
+            p_next = p + d * ray_directions
+        return (p_next, jnp.minimum(min_f, d)), None
+
+    if remat:
+        step = jax.checkpoint(step)
+
+    big = jnp.full(ray_positions.shape[:-1] + (1,),
+                   jnp.finfo(ray_positions.dtype).max, ray_positions.dtype)
+    (final, min_f), _ = jax.lax.scan(
+        step, (ray_positions, big), None, length=steps
+    )
+    return final, min_f
+
+
 def march_unrolled(sdf_vec, params, ray_positions, ray_directions, steps: int):
     """Python-unrolled marcher — bitwise-identical graph to the reference's
     loop (reference: rendering/ray_marching.py:78-84). Used by parity tests;

@@ -54,6 +54,10 @@ class RenderConfig:
     # v·∇f denominator is clamped away from 0 for grazing rays.
     ift_hit_threshold: float = 0.05
     ift_denom_eps: float = 1e-6
+    # Soft-silhouette sharpness for render_with_alpha / silhouette-aware
+    # inverse rendering: α = σ(−min_f/β). Smaller = sharper mask, narrower
+    # gradient band around the silhouette.
+    silhouette_beta: float = 5e-2
     reflection_bounces: int = 0
     use_autodiff_normals: bool = False
     use_pallas: bool = False
@@ -134,6 +138,62 @@ class Renderer:
         n = self.config.num_cameras
         h, w = self.config.px_height, self.config.px_width
         return jnp.broadcast_to(image, (image.shape[0], h, w, 3))
+
+    def render_with_alpha(self, params, orientation, translation, *,
+                          mode: int = 0, degree: int = 1,
+                          marching_steps: Optional[int] = None,
+                          beta: Optional[float] = None,
+                          axis_names=()):
+        """Render one frame plus a **soft silhouette coverage mask**.
+
+        The mask is ``α = σ(shift − min_f/β)`` where ``min_f`` is the
+        along-ray closest approach (``march.march_with_closest``): ≈1 for
+        rays that hit, ≈0 for clear misses, and *smooth in the scene parameters*
+        across the silhouette — the gradient signal that plain pixel losses
+        lack (hit/miss is a step function; see render/silhouette.py for the
+        stall analysis and tests/test_silhouette.py for the comparison).
+
+        Reflection bounces are not supported on this path (the mask is a
+        primary-visibility concept).
+
+        Returns:
+            (image (N, H, W, 3), alpha (N, H, W, 1)).
+        """
+        from ray_marching_tpu.render.silhouette import soft_coverage
+
+        cfg = self.config
+        if cfg.reflection_bounces:
+            raise ValueError("render_with_alpha: reflection bounces unsupported")
+        steps = cfg.marching_steps if marching_steps is None else marching_steps
+        beta = cfg.silhouette_beta if beta is None else beta
+        pixel_pos, pixel_frames, ray_pos, ray_dirs = self.camera.pose(
+            orientation, translation
+        )
+        surface_coords, min_f = march_mod.march_with_closest(
+            self.sdf_vec, params, ray_pos, ray_dirs, steps,
+            tau=cfg.tau, remat=cfg.remat,
+        )
+        surface_distances = self.sdf_vec(params, surface_coords)
+        surface_normals, surface_laplacian = self.normals(
+            self.sdf_vec, params, surface_coords
+        )
+        image = shaders.shade(
+            mode,
+            px_coords=pixel_pos,
+            camera_orientation=orientation,
+            pixel_frames=pixel_frames,
+            ray_directions=ray_dirs,
+            surface_coords=surface_coords,
+            surface_normals=surface_normals,
+            surface_laplacian=surface_laplacian,
+            surface_distances=surface_distances,
+            cyclic_cmap=self.cyclic_cmap,
+            degree=degree,
+            axis_names=axis_names,
+        )
+        h, w = cfg.px_height, cfg.px_width
+        image = jnp.broadcast_to(image, (image.shape[0], h, w, 3))
+        return image, soft_coverage(min_f, beta)
 
     def render_all_modes(self, params, orientation, translation, *, degree=1,
                          marching_steps=None, axis_names=()):

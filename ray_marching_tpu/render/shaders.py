@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ray_marching_tpu import quat
-from ray_marching_tpu.utils import clamp
+from ray_marching_tpu.utils import clamp, rmin, rmax
 
 _GAMMA = 1.0 / 2.33
 _CMAP_PATH = Path(__file__).resolve().parent.parent / "data" / "cyclic_cmap.npy"
@@ -75,16 +75,16 @@ def distance(px_coords, surface_coords, axis_names=()):
             1e-2,
         )
     )
-    lo = _global_reduce(log_dists, jnp.min, jax_pmin, axis_names)
-    hi = _global_reduce(log_dists, jnp.max, jax_pmax, axis_names)
+    lo = _global_reduce(log_dists, rmin, jax_pmin, axis_names)
+    hi = _global_reduce(log_dists, rmax, jax_pmax, axis_names)
     return ((log_dists - lo) / (hi - lo)) ** _GAMMA
 
 
 def proximity(surface_distances, axis_names=()):
     """Same normalization on terminal SDF values (shader.py:41-55) → 1ch."""
     log_dists = jnp.log(clamp(surface_distances, 1e-2))
-    lo = _global_reduce(log_dists, jnp.min, jax_pmin, axis_names)
-    hi = _global_reduce(log_dists, jnp.max, jax_pmax, axis_names)
+    lo = _global_reduce(log_dists, rmin, jax_pmin, axis_names)
+    hi = _global_reduce(log_dists, rmax, jax_pmax, axis_names)
     return ((log_dists - lo) / (hi - lo)) ** _GAMMA
 
 
@@ -108,7 +108,7 @@ def normal(surface_normals):
 def laplacian(surface_laplacian, axis_names=()):
     """Laplacian mapped ``(1 − L/max|L|)/2``, clamped, gamma-corrected
     (shader.py:77-89) → 1 channel."""
-    hi = _global_reduce(jnp.abs(surface_laplacian), jnp.max, jax_pmax, axis_names)
+    hi = _global_reduce(jnp.abs(surface_laplacian), rmax, jax_pmax, axis_names)
     x = surface_laplacian / hi
     return clamp((1.0 - x) / 2.0, 0.0, 1.0) ** _GAMMA
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -39,3 +40,54 @@ def vmin(a, b):
 def vmax(a, b):
     """Elementwise max with torch-`max(dim)` gradient semantics (see vmin)."""
     return jnp.where(b > a, b, a)
+
+
+@jax.custom_vjp
+def rmin(x):
+    """Whole-tensor min with torch-`Tensor.min()` gradient semantics.
+
+    ``jnp.min``'s VJP *multiplies* the cotangent by the arg-extremum
+    indicator, so a NaN cotangent on the reduction (e.g. the inf − inf at
+    the arg-min pixel of the distance shader's ``((x−lo)/(hi−lo))^γ`` —
+    pow'(0) = ∞ arriving via both the direct and the −lo path) becomes
+    NaN·0 = NaN on EVERY element. torch scatters structurally: the NaN
+    stays on the arg-extremum element(s) and everything else keeps exact
+    zeros (verified: ties split evenly as g/n_ties, NaN cotangent → NaN
+    only on the tied elements). ``where``-select reproduces that.
+    """
+    return jnp.min(x)
+
+
+def _rmin_fwd(x):
+    m = jnp.min(x)
+    return m, (x, m)
+
+
+def _rmin_bwd(res, g):
+    x, m = res
+    mask = x == m
+    return (jnp.where(mask, g / jnp.sum(mask), jnp.zeros_like(x)),)
+
+
+rmin.defvjp(_rmin_fwd, _rmin_bwd)
+
+
+@jax.custom_vjp
+def rmax(x):
+    """Whole-tensor max with torch-`Tensor.max()` gradient semantics
+    (see :func:`rmin`)."""
+    return jnp.max(x)
+
+
+def _rmax_fwd(x):
+    m = jnp.max(x)
+    return m, (x, m)
+
+
+def _rmax_bwd(res, g):
+    x, m = res
+    mask = x == m
+    return (jnp.where(mask, g / jnp.sum(mask), jnp.zeros_like(x)),)
+
+
+rmax.defvjp(_rmax_fwd, _rmax_bwd)

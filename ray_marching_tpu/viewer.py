@@ -126,16 +126,83 @@ class PNGSink:
             write_png(Path(self.directory) / f"frame_{frame_idx:05d}.png", image)
 
 
+class TerminalSink:
+    """Live in-terminal preview: ANSI truecolor half-block rendering.
+
+    Dependency-free substitute for the reference's GL window
+    (torchwindow/window.py:146-174): each character cell shows two vertical
+    pixels via '▀' with separate foreground (top) and background (bottom)
+    colors, so a 100×56 cell grid displays a 100×112 preview. Works in any
+    24-bit-color terminal; NaN pixels render black.
+    """
+
+    def __init__(self, max_cols: int = 100, max_rows: int = 48, file=None):
+        import sys
+
+        self.max_cols = max_cols
+        self.max_rows = max_rows  # character rows => 2·max_rows pixels
+        self.file = file or sys.stdout
+        self._first = True
+
+    def __call__(self, frame_idx, image, session):
+        import numpy as np
+
+        img = np.asarray(image)
+        if img.ndim == 4:  # (N, H, W, 3) → first camera
+            img = img[0]
+        img = np.nan_to_num(img, nan=0.0, posinf=1.0, neginf=0.0)
+        img = np.clip(img, 0.0, 1.0)
+        h, w = img.shape[:2]
+        step = max(1, -(-w // self.max_cols), -(-h // (2 * self.max_rows)))
+        img = img[::step, ::step]
+        # Even row count for the top/bottom pairing.
+        if img.shape[0] % 2:
+            img = img[:-1]
+        rgb = (img * 255).astype(np.uint8)
+        top, bottom = rgb[0::2], rgb[1::2]
+        lines = []
+        for tr, br in zip(top, bottom):
+            cells = [
+                f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
+                for t, b in zip(tr, br)
+            ]
+            lines.append("".join(cells) + "\x1b[0m")
+        # Repaint in place after the first frame (cursor up + to column 0).
+        prefix = "" if self._first else f"\x1b[{len(lines)}F"
+        self._first = False
+        self.file.write(prefix + "\n".join(lines) + "\n")
+        self.file.flush()
+
+
+class MultiSink:
+    """Fan a frame out to several sinks (e.g. terminal preview + PNGs)."""
+
+    def __init__(self, *sinks):
+        self.sinks = [s for s in sinks if s is not None]
+
+    def __call__(self, frame_idx, image, session):
+        for sink in self.sinks:
+            sink(frame_idx, image, session)
+
+
 def run_viewer(renderer, input_source, sink: Callable, *,
                camera: Optional[CameraState] = None,
                session: Optional[SessionState] = None,
                control: ControlConfig = ControlConfig(),
                max_frames: Optional[int] = None,
-               print_fps: bool = True):
-    """The frame loop (reference main.py:52-88). Returns final states."""
+               print_fps: bool = True,
+               jit_cache_size: int = 8):
+    """The frame loop (reference main.py:52-88). Returns final states.
+
+    The per-(mode, steps, degree) jit cache is LRU-bounded
+    (``jit_cache_size``): scrubbing marching_steps interactively recompiles
+    but no longer accumulates compiled functions without bound.
+    """
+    from collections import OrderedDict
+
     camera = camera or CameraState.initial(dtype=renderer.dtype)
     session = session or SessionState(marching_steps=renderer.config.marching_steps)
-    jitted_cache = {}
+    jitted_cache = OrderedDict()
     frame_idx = 0
     old_time = time.perf_counter()
     while session.running and (max_frames is None or frame_idx < max_frames):
@@ -145,10 +212,14 @@ def run_viewer(renderer, input_source, sink: Callable, *,
             break
         camera = apply_input(camera, snap, control)
         key = (session.mode % 8, session.marching_steps, session.degree)
-        if key not in jitted_cache:
+        if key in jitted_cache:
+            jitted_cache.move_to_end(key)
+        else:
             jitted_cache[key] = renderer.jitted(
                 mode=key[0], marching_steps=key[1], degree=key[2]
             )
+            while len(jitted_cache) > jit_cache_size:
+                jitted_cache.popitem(last=False)
         image = jitted_cache[key](
             renderer.init_params, camera.orientation, camera.position
         )

@@ -44,6 +44,10 @@ def build_renderer(g):
         sensor_height=PX_SIZE * h,
         marching_steps=int(g["meta_steps"]),
         normals_eps=float(g["meta_normals_eps"]),
+        reflection_bounces=(
+            int(g["meta_reflection_bounces"])
+            if "meta_reflection_bounces" in g.files else 0
+        ),
     )
     scene = registry.make_scene(str(g["meta_scene"]))
     return Renderer(scene, cfg, dtype=jnp.float64, grid_dtype=np.float64)
@@ -83,10 +87,11 @@ def test_stability_mask_agrees(fixture):
     """The framework's own marched rays reproduce the reference's stable set
     (identical convergence behavior, not just identical stable-pixel values)."""
     name, g, r, orientation, translation = fixture
-    from ray_marching_tpu.render.march import march
 
     pixel_pos, frames, ray_pos, ray_dirs = r.camera.pose(orientation, translation)
-    p = march(r.sdf_vec, r.init_params, ray_pos, ray_dirs, int(g["meta_steps"]))
+    # _march applies the config's reflection bounces (bounce fixtures mask
+    # on the final, post-bounce march).
+    p, _ = r._march(r.init_params, ray_pos, ray_dirs, int(g["meta_steps"]))
     f = r.sdf_vec(r.init_params, p)
     ok = (jnp.abs(f) < 1e-2) & (
         jnp.linalg.norm(p, axis=-1, keepdims=True) < 10.0

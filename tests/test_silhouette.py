@@ -1,0 +1,151 @@
+"""Silhouette-aware gradients (round-1 ROADMAP #1 / VERDICT #3).
+
+The canonical stall: a box seen face-on under the lambertian shader, with
+sub-pixel normals eps (1e-3). Every interior hit pixel has the constant
+face normal, so its shading is exactly independent of the box half-sides;
+the finite-difference edge band is narrower than a pixel; and miss rays
+diverge so far that the normal estimator's differences cancel to NaN,
+which the NaN-killing clamp flattens to a constant — the plain pixel-loss
+gradient w.r.t. the half-sides is EXACTLY zero. All extent information
+sits on the silhouette, where hit/miss is a step function. The
+soft-coverage objective (render/silhouette.py) restores a smooth gradient
+through the along-ray closest approach, and a two-view fit (front + side —
+single-view coverage is degenerate: pulling the front face toward the
+camera also grows the projected silhouette) recovers all three half-sides.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_marching_tpu.optim.inverse import InverseConfig, optimize
+from ray_marching_tpu.render.march import march_with_closest
+from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+from ray_marching_tpu.render.silhouette import composite
+from ray_marching_tpu.scene.graph import Box
+
+PX = 3.45e-6
+BETA = 0.1
+S2 = 0.5 ** 0.5
+
+
+def make_renderer(num_cameras):
+    cfg = RenderConfig(
+        num_cameras=num_cameras, px_width=48, px_height=48,
+        focal_length=PX * 48, sensor_width=PX * 48, sensor_height=PX * 48,
+        marching_steps=24, normals_eps=1e-3,
+    )
+    return Renderer(Box(halfsides=(0.3, 0.3, 0.2)), cfg, dtype=jnp.float64,
+                    grid_dtype=np.float64)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    r = make_renderer(2)
+    # Camera 0: face-on from z=+2; camera 1: side view from x=+2.
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0], [S2, 0.0, -S2, 0.0]], jnp.float64)
+    t = jnp.asarray([[0.0, 0.0, 2.0], [2.0, 0.0, 0.0]], jnp.float64)
+    true_params = jax.tree.map(lambda x: x, r.init_params)
+    true_params["halfsides"] = jnp.asarray([0.5, 0.5, 0.2], jnp.float64)
+    return r, q, t, true_params
+
+
+def test_alpha_semantics(setup):
+    """α ≈ σ(shift) on the face, ≈ 0 for clear misses, smooth between —
+    from both viewpoints."""
+    r, q, t, true_params = setup
+    # Sharper mask for the semantics check (β=0.1 used for fitting leaves
+    # measurable tail coverage at the frame corners).
+    _, alpha = r.render_with_alpha(true_params, q, t, mode=0, beta=0.04)
+    alpha = np.asarray(alpha)[..., 0]
+    for cam in range(2):
+        assert alpha[cam, 24, 24] > 0.95      # center of a face (σ(shift))
+        assert alpha[cam, 0, 0] < 0.05        # far corner, clear miss
+        band = (alpha[cam] > 0.05) & (alpha[cam] < 0.95)
+        assert band.any()                     # smooth band exists
+
+
+def test_pixel_only_gradient_is_exactly_zero(setup):
+    """The stall, quantified: plain pixel loss gives EXACTLY zero gradient
+    w.r.t. the box half-sides; the silhouette objective gives an O(1)
+    gradient pointing toward growing the box."""
+    r, q, t, true_params = setup
+
+    target_plain = r.render(true_params, q, t, mode=0, degree=1)
+
+    def plain_loss(p):
+        return jnp.mean((r.render(p, q, t, mode=0, degree=1) - target_plain) ** 2)
+
+    g_plain = np.asarray(jax.grad(plain_loss)(r.init_params)["halfsides"])
+    assert (g_plain == 0).all(), g_plain
+
+    img_t, a_t = r.render_with_alpha(true_params, q, t, mode=0, beta=BETA)
+    target_soft = composite(img_t, a_t)
+
+    def soft_loss(p):
+        img, a = r.render_with_alpha(p, q, t, mode=0, beta=BETA)
+        return (
+            jnp.mean((composite(img, a) - target_soft) ** 2)
+            + jnp.mean((a - a_t) ** 2)
+        )
+
+    g_soft = np.asarray(jax.grad(soft_loss)(r.init_params)["halfsides"])
+    # The undersized box should grow (negative gradient, all axes — both
+    # views together observe all three half-sides).
+    assert (g_soft < -1e-3).all(), g_soft
+
+
+def test_soft_silhouette_fit_converges_where_plain_stalls(setup):
+    """End-to-end through the optimize() loop: the plain fit does not move
+    at all (zero gradient every step); the two-view silhouette-aware fit
+    recovers all three half-sides."""
+    r, q, t, true_params = setup
+
+    # --- baseline: plain pixel loss stalls completely ---
+    target_plain = r.render(true_params, q, t, mode=0, degree=1)
+    out_plain = optimize(
+        r, target_plain, q, t,
+        InverseConfig(learning_rate=2e-2, steps=80, mode=0,
+                      trainable=["halfsides"]),
+    )
+    h_plain = np.asarray(out_plain["params"]["halfsides"])
+    np.testing.assert_array_equal(h_plain, [0.3, 0.3, 0.2])
+
+    # --- silhouette-aware: same budget converges ---
+    img_t, a_t = r.render_with_alpha(true_params, q, t, mode=0, beta=BETA)
+    target_soft = composite(img_t, a_t)
+    out_soft = optimize(
+        r, target_soft, q, t,
+        InverseConfig(learning_rate=2e-2, steps=150, mode=0,
+                      trainable=["halfsides"], silhouette_beta=BETA),
+        target_alpha=a_t,
+    )
+    h_soft = np.asarray(out_soft["params"]["halfsides"])
+    np.testing.assert_allclose(h_soft, [0.5, 0.5, 0.2], atol=0.035)
+
+
+def test_min_f_gradient_smooth_across_silhouette(setup):
+    """∂min_f/∂halfsides is nonzero for near-miss rays (the mechanism)."""
+    r, q, t, _ = setup
+    sdf_vec = r.sdf_vec
+    # A single ray that narrowly misses the 0.3-half-side box edge.
+    p0 = jnp.asarray([[0.35, 0.0, 2.0]], jnp.float64)
+    v = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float64)
+
+    def min_f(params):
+        _, m = march_with_closest(sdf_vec, params, p0, v, 24)
+        return jnp.sum(m)
+
+    val = float(min_f(r.init_params))
+    g = np.asarray(jax.grad(min_f)(r.init_params)["halfsides"])
+    assert 0 < val < 0.1          # a narrow miss
+    assert g[0] < -0.5            # growing x half-side reduces the miss
+
+    # tau>0 and remat variants keep the same gradient.
+    for kwargs in (dict(tau=1e-6), dict(remat=True)):
+        def min_f_k(params, kw=kwargs):
+            _, m = march_with_closest(sdf_vec, params, p0, v, 24, **kw)
+            return jnp.sum(m)
+        gk = np.asarray(jax.grad(min_f_k)(r.init_params)["halfsides"])
+        np.testing.assert_allclose(gk, g, rtol=1e-9)

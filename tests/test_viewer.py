@@ -61,3 +61,118 @@ def test_render_is_deterministic():
     a = np.asarray(f(r.init_params, q, t))
     b = np.asarray(f(r.init_params, q, t))
     np.testing.assert_array_equal(a, b)
+
+
+def test_terminal_sink_renders_ansi_halfblocks():
+    """TerminalSink: truecolor half-block preview, NaN-safe, repaint-in-
+    place escape after the first frame."""
+    import io
+
+    from ray_marching_tpu.viewer import TerminalSink
+
+    buf = io.StringIO()
+    sink = TerminalSink(max_cols=16, max_rows=8, file=buf)
+    img = np.zeros((1, 16, 16, 3), np.float32)
+    img[0, :8] = [1.0, 0.0, 0.0]          # top half red
+    img[0, 8:] = [0.0, 0.0, 1.0]          # bottom half blue
+    img[0, 0, 0] = np.nan                 # NaN must render black, not crash
+
+    class S:
+        save_frame = False
+
+    sink(0, img, S())
+    out = buf.getvalue()
+    assert "▀" in out and "\x1b[38;2;255;0;0m" in out and "\x1b[48;2;0;0;255m" in out
+    assert "\x1b[38;2;0;0;0m" in out     # the NaN pixel
+    assert "\x1b[F" not in out           # first frame: no cursor-up
+    first_len = len(out)
+    sink(1, img, S())
+    assert "\x1b[8F" in buf.getvalue()[first_len:]  # repaint in place
+
+
+def test_multi_sink_fans_out(tmp_path):
+    from ray_marching_tpu.viewer import MultiSink
+
+    calls = []
+    sink = MultiSink(lambda *a: calls.append("a"), None,
+                     lambda *a: calls.append("b"))
+    sink(0, np.zeros((1, 2, 2, 3)), None)
+    assert calls == ["a", "b"]
+
+
+def test_jit_cache_is_lru_bounded():
+    """Scrubbing marching_steps beyond the cache size evicts instead of
+    accumulating compiled functions forever (round-1 weakness #7)."""
+    jitted_calls = []
+
+    class FakeRenderer:
+        dtype = jnp.float32
+
+        class config:
+            marching_steps = 4
+
+        init_params = {}
+
+        def jitted(self, *, mode, marching_steps, degree):
+            jitted_calls.append((mode, marching_steps, degree))
+            return lambda p, q, t: np.zeros((1, 2, 2, 3), np.float32)
+
+    # 6 distinct step counts with cache size 2, then revisit the first:
+    # every step change misses (recompiles), including the revisit.
+    snaps = [InputSnapshot(pressed=frozenset("m")) for _ in range(5)]
+    source = ScriptedInput(snaps)
+    run_viewer(FakeRenderer(), source, lambda *a: None,
+               print_fps=False, jit_cache_size=2)
+    assert len(jitted_calls) == len({k for k in jitted_calls}) == 5
+
+
+def test_pynput_input_with_stubbed_backend(monkeypatch):
+    """PynputInput's callback→snapshot logic, driven through a stubbed
+    pynput module (no display server in CI): mouse NDC offsets, scroll
+    accumulation + reset, key press/release sets, quit and save flags."""
+    import sys
+    import types
+
+    captured = {}
+
+    class FakeListener:
+        def __init__(self, **callbacks):
+            captured.update(callbacks)
+
+        def start(self):
+            pass
+
+        def stop(self):
+            pass
+
+    fake = types.ModuleType("pynput")
+    fake.mouse = types.SimpleNamespace(Listener=FakeListener)
+    fake.keyboard = types.SimpleNamespace(Listener=FakeListener)
+    monkeypatch.setitem(sys.modules, "pynput", fake)
+
+    from ray_marching_tpu.viewer import PynputInput
+
+    src = PynputInput(screen_size=(200, 100))
+    snap = src.poll()
+    assert snap.mouse_ndc == (0.0, 0.0) and not snap.quit
+
+    captured["on_move"](150, 75)          # → NDC (+0.5, +0.5)
+    captured["on_scroll"](0, 0, 0, 1)
+    captured["on_scroll"](0, 0, 0, 1)
+    key_w = types.SimpleNamespace(char="w")
+    captured["on_press"](key_w)
+    snap = src.poll()
+    assert snap.mouse_ndc == (0.5, 0.5)
+    assert snap.scroll == 2 and "w" in snap.pressed
+    snap = src.poll()
+    assert snap.scroll == 0               # scroll resets each poll
+
+    captured["on_release"](key_w)
+    captured["on_press"](types.SimpleNamespace(char="p"))
+    snap = src.poll()
+    assert "w" not in snap.pressed and snap.save_frame
+    assert not src.poll().save_frame      # save flag is one-shot
+
+    captured["on_press"](types.SimpleNamespace(char="q"))
+    assert src.poll().quit
+    src.close()

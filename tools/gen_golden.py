@@ -174,13 +174,14 @@ CONFIGS = [
         image_modes=ALL_MODES,
         grad_modes=(0, 1, 2, 3, 4, 6, 7),
     ),
-    # BASELINE config 1 geometry: lone sphere, 64 steps, deep divergence on
-    # miss rays. Mode 5 excluded entirely (max |L| chaos, see above).
+    # BASELINE config 1 at spec resolution: lone sphere, 256², 64 steps,
+    # deep divergence on miss rays. Mode 5 excluded entirely (max |L|
+    # chaos, see above).
     dict(
         name="sphere_depth",
         scene="single_sphere",
-        width=128,
-        height=128,
+        width=256,
+        height=256,
         steps=64,
         normals_eps=5e-2,
         orientation=(1.0, 0.0, 0.0, 0.0),
@@ -189,19 +190,41 @@ CONFIGS = [
         image_modes=(0, 1, 2, 3, 4, 6, 7),
         grad_modes=(0, 1, 2, 3, 4, 6, 7),
     ),
-    # BASELINE config 2 geometry: smooth-union composite under rotations.
+    # BASELINE config 2 at spec resolution: smooth-union composite under
+    # quaternion rotations, 512². Gradient fixtures restricted to a
+    # representative mode subset to bound f64 CPU suite time (geometry,
+    # global-min/max normalization, global-max, cmap-gather classes).
     dict(
         name="composite_512",
         scene="composite",
-        width=160,
-        height=160,
+        width=512,
+        height=512,
         steps=48,
         normals_eps=5e-2,
         orientation=(0.9914448613738104, 0.0, 0.13052619222005157, 0.0),
         translation=(0.3, 0.1, -1.8),
         degree=2,
         image_modes=ALL_MODES,
-        grad_modes=ALL_MODES,
+        grad_modes=(0, 2, 5, 7),
+    ),
+    # BASELINE config 3 geometry: full registry scene, all 8 shaders, ONE
+    # REFLECTION BOUNCE, at 512² (nearest feasible to the 1024² spec for
+    # the f64 CPU oracle; the closed room keeps every ray stable). The
+    # bounce composes reference modules with the reference mirror formula
+    # (control.py:179-194) exactly like the framework's _march.
+    dict(
+        name="scene2_bounce_512",
+        scene="test_scene2",
+        width=512,
+        height=512,
+        steps=32,
+        normals_eps=5e-2,
+        reflection_bounces=1,
+        orientation=_unit((0.99, 0.03, -0.05, 0.02)),
+        translation=(0.1, 0.2, 2.0),
+        degree=2,
+        image_modes=ALL_MODES,
+        grad_modes=(0, 1, 4, 7),
     ),
 ]
 
@@ -226,13 +249,29 @@ def render_reference(cfg):
 
     orientation = torch.tensor([cfg["orientation"]], dtype=DTYPE, requires_grad=True)
     translation = torch.tensor([cfg["translation"]], dtype=DTYPE, requires_grad=True)
+    bounces = int(cfg.get("reflection_bounces", 0))
+
+    def march_with_bounces(ray_pos, ray_dirs):
+        """March + optional mirror bounces: the reference reflection formula
+        v' = v + 2⟨N, −v⟩N (control.py:179-194; never called there) composed
+        with its marcher/normals modules, mirroring the framework's _march
+        (escape the |f| ≈ 0 shell by normals_eps before re-marching)."""
+        marched = marcher(ray_pos, ray_dirs, cfg["steps"])
+        for _ in range(bounces):
+            n, _ = normals_mod(marched)
+            proj = (n * ray_dirs.mul(-1)).sum(dim=-1, keepdim=True) * n
+            ray_dirs = proj * 2 + ray_dirs
+            marched = marcher(
+                marched + ray_dirs * cfg["normals_eps"], ray_dirs, cfg["steps"]
+            )
+        return marched, ray_dirs
 
     def stability_mask():
         with torch.no_grad():
             q = orientation[:, None, None, :]
             ray_pos = Q.rotation(ray_pos0, q) + translation[:, None, None, :]
             ray_dirs = Q.rotation(ray_dir0, q)
-            marched = marcher(ray_pos, ray_dirs, cfg["steps"])
+            marched, _ = march_with_bounces(ray_pos, ray_dirs)
             f = scene(marched)
             ok = (f.abs() < STABLE_ABS_F) & (
                 marched.norm(dim=-1, keepdim=True) < STABLE_MAX_POS
@@ -244,7 +283,7 @@ def render_reference(cfg):
         ray_pos = Q.rotation(ray_pos0, q) + translation[:, None, None, :]
         ray_dirs = Q.rotation(ray_dir0, q)
         pixel_frames = so3(orientation[:, None, None, :])
-        marched = marcher(ray_pos, ray_dirs, cfg["steps"])
+        marched, ray_dirs = march_with_bounces(ray_pos, ray_dirs)
         surface_distances = scene(marched)
         surface_normals, surface_laplacian = normals_mod(marched)
         image = shader(
@@ -269,13 +308,22 @@ def render_reference(cfg):
     # sides, so chaotic (diverged / unconverged) rays carry no cotangent.
     loss_weights = torch.from_numpy(rng.standard_normal((1, h, w, 3)) * mask)
     for mode in range(8):
+        want_image = mode in cfg["image_modes"]
+        want_grads = mode in cfg["grad_modes"]
+        if not (want_image or want_grads):
+            continue
         if orientation.grad is not None:
             orientation.grad = None
             translation.grad = None
         for p in scene.parameters():
             p.grad = None
+        if not want_grads:
+            with torch.no_grad():
+                out[f"image_{mode}"] = forward(mode).numpy()
+            continue
         image = forward(mode)
-        out[f"image_{mode}"] = image.detach().numpy()
+        if want_image:
+            out[f"image_{mode}"] = image.detach().numpy()
         loss = (image * loss_weights).sum()
         loss.backward()
         for tname, p in scene.named_parameters():
@@ -296,6 +344,7 @@ def render_reference(cfg):
         out[f"meta_{key}"] = np.asarray(cfg[key])
     out["meta_orientation"] = np.asarray(cfg["orientation"])
     out["meta_translation"] = np.asarray(cfg["translation"])
+    out["meta_reflection_bounces"] = np.asarray(bounces)
     out["meta_scene"] = np.asarray(cfg["scene"])
     out["meta_image_modes"] = np.asarray(cfg["image_modes"])
     out["meta_grad_modes"] = np.asarray(cfg["grad_modes"])
@@ -304,7 +353,10 @@ def render_reference(cfg):
 
 def main():
     OUT_DIR.mkdir(parents=True, exist_ok=True)
+    only = set(sys.argv[1:])  # no args = all fixtures
     for cfg in CONFIGS:
+        if only and cfg["name"] not in only:
+            continue
         print(f"generating {cfg['name']} ...", flush=True)
         with torch.autograd.set_detect_anomaly(False):
             data = render_reference(cfg)
