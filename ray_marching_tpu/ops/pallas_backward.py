@@ -57,12 +57,24 @@ def _store_gtheta(gtheta_ref, gtheta):
             chunk = jnp.pad(chunk, ((0, 0), (0, LANES - (hi - lo))))
         rows.append(chunk)
     gtheta_ref[:] = jnp.concatenate(rows, axis=0)
-BWD_ROWS_PER_TILE = 64
+
+
+BWD_ROWS_PER_TILE = 128
+# Scoped-VMEM budget for the backward kernel. The Mosaic default (16 MiB)
+# caps the tile at 64 rows (position history + reverse-sweep VJP
+# temporaries); v5e VMEM is 128 MiB physical, so a raised budget admits
+# larger tiles. Measured sweep (tools/bwd_tile_sweep.py, 1080p fwd+bwd,
+# v5e): 64/16M 13.2 ms, 128/64M 12.2 ms (winner), 192/96M 13.4 ms,
+# 256 worse — see docs/PERFORMANCE.md.
+BWD_VMEM_LIMIT_BYTES = 64 * 2**20
 # Two-level recompute: log every K-th position only, re-march segments
 # during the reverse sweep. Scratch drops from steps×3 to (steps/K + K)×3
-# planes per tile, which lets the tile grow to 128 rows.
+# planes per tile. Measured slower than full history at every tile size
+# once the VMEM budget is raised (128 rows: 14.0 vs 12.2 ms) — the segment
+# re-march costs more than the smaller scratch saves. Kept as an opt-in
+# experiment (RM_TPU_BWD_TWO_LEVEL=1).
 CKPT_INTERVAL = 8
-BWD_ROWS_PER_TILE_2L = 64  # 128 OOMs scoped VMEM by ~0.6MB on v5e
+BWD_ROWS_PER_TILE_2L = 128
 MAX_UNROLL_STEPS = 64
 
 
@@ -285,10 +297,10 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
     k = CKPT_INTERVAL
     # Opt-in experiment (RM_TPU_BWD_TWO_LEVEL=1): trades the full position
-    # history for segment recompute. The hoped-for win (128-row tiles) OOMs
-    # scoped VMEM on v5e once the reverse sweep's VJP temporaries are
-    # counted, so at equal tile size this only reduces scratch; kept for
-    # future tuning (ROADMAP #2).
+    # history for segment recompute. Measured slower than full history at
+    # every tile size once BWD_VMEM_LIMIT_BYTES lifts the scoped-VMEM cap
+    # (the segment re-march is pure extra work) — kept only as a memory
+    # escape hatch for step counts whose history cannot fit.
     import os
 
     two_level = (
@@ -343,6 +355,11 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
         + [jax.ShapeDtypeStruct((num_tiles * gr, LANES), dtype)],
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=(
+            None
+            if (BWD_VMEM_LIMIT_BYTES is None or interpret)
+            else pltpu.CompilerParams(vmem_limit_bytes=BWD_VMEM_LIMIT_BYTES)
+        ),
     )(flat_params[None, :], *[rays7[i] for i in range(7)], g8)
     gx, gy, gz, gvx, gvy, gvz, gtheta_tiles = outs
     if pad:
