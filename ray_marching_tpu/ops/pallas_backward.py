@@ -79,6 +79,7 @@ MAX_UNROLL_STEPS = 64
 
 
 def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
+                track_min,
                 params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
                 valid_ref, g_ref,
                 gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
@@ -93,22 +94,43 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     zero = jnp.zeros((), x.dtype)
 
     # ---- forward recompute, positions logged to VMEM ----
+    # With track_min also recover the arg-min march step of the coverage
+    # plane min_f = min_i f(p_i): strict-inequality updates reproduce the
+    # jnp.minimum-chain VJP routing (ties are measure-zero; a tie would
+    # split 0.5/0.5 under minimum-chain autodiff but routes fully to the
+    # first attaining step here).
     def fwd_body(i, carry):
-        x, y, z = carry
+        x, y, z = carry[:3]
         hist_ref[i, 0] = x
         hist_ref[i, 1] = y
         hist_ref[i, 2] = z
         d = sdf_c(params, x, y, z)
-        return (
+        out = (
             jnp.where(valid, x + d * dx, x),
             jnp.where(valid, y + d * dy, y),
             jnp.where(valid, z + d * dz, z),
         )
+        if track_min:
+            minf, amin = carry[3], carry[4]
+            take = d < minf
+            out = out + (
+                jnp.where(take, d, minf),
+                jnp.where(take, lax.convert_element_type(i, jnp.int32), amin),
+            )
+        return out
 
     # NOTE: loops stay rolled here — statically unrolling the recompute and
     # especially the 32 traced-VJP reverse steps blows Mosaic compile time
     # past 8 minutes (measured round 1) for a ~10% runtime win at best.
-    x, y, z = lax.fori_loop(0, steps, fwd_body, (x, y, z))
+    init = (x, y, z)
+    if track_min:
+        init = init + (
+            jnp.full_like(x, jnp.finfo(x.dtype).max),
+            jnp.full(x.shape, -1, jnp.int32),
+        )
+    carry = lax.fori_loop(0, steps, fwd_body, init)
+    x, y, z = carry[:3]
+    amin = carry[4] if track_min else None
 
     # ---- tail: terminal distance + normals + laplacian ----
     def tail(flat, x, y, z):
@@ -134,14 +156,20 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     gz = gz + g_ref[2]
 
     # ---- reverse sweep over the march steps ----
+    # With track_min the step also emits its SDF evaluation d_i so the
+    # coverage cotangent g_ref[8] can be injected at the arg-min step: the
+    # extra output cotangent flows into both the parameter cotangent and
+    # this step's position cotangent (and from there back through earlier
+    # steps), exactly as autodiff of the minimum chain would route it.
     def step_fn(flat, x, y, z, vx, vy, vz):
         params = unravel(flat)
         d = sdf_c(params, x, y, z)
-        return (
+        out = (
             jnp.where(valid, x + d * vx, x),
             jnp.where(valid, y + d * vy, y),
             jnp.where(valid, z + d * vz, z),
         )
+        return out + (d,) if track_min else out
 
     def bwd_body(j, carry):
         gx, gy, gz, gtheta, gvx, gvy, gvz = carry
@@ -150,7 +178,15 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
         yi = hist_ref[i, 1]
         zi = hist_ref[i, 2]
         _, vjp = jax.vjp(step_fn, flat, xi, yi, zi, dx, dy, dz)
-        dtheta, gx, gy, gz, dvx, dvy, dvz = vjp((gx, gy, gz))
+        if track_min:
+            gd = jnp.where(
+                jnp.logical_and(amin == i, valid), g_ref[8],
+                jnp.zeros_like(gx),
+            )
+            cot = (gx, gy, gz, gd)
+        else:
+            cot = (gx, gy, gz)
+        dtheta, gx, gy, gz, dvx, dvy, dvz = vjp(cot)
         return (gx, gy, gz, gtheta + dtheta, gvx + dvx, gvy + dvy, gvz + dvz)
 
     gvz0 = jnp.zeros_like(gx)
@@ -282,11 +318,14 @@ def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
 
 
 def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
-                   normals_eps, interpret):
+                   normals_eps, interpret, track_min=False):
     """Backward of fused_march_normals (tau == 0).
 
     Args:
-        g8: (8, rows, 128) cotangents for (x y z d nx ny nz lap).
+        g8: (8, rows, 128) cotangents for (x y z d nx ny nz lap) — or
+            (9, rows, 128) with the coverage plane min_f appended when
+            ``track_min`` (fused_march_normals_cov); its cotangent is
+            routed to the arg-min march step inside the kernel.
 
     Returns:
         (flat_params_cot (P,), rays7_cot (7, rows, 128)).
@@ -296,6 +335,7 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     p = flat_params.shape[0]
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
     k = CKPT_INTERVAL
+    n_g = 9 if track_min else 8
     # Opt-in experiment (RM_TPU_BWD_TWO_LEVEL=1): trades the full position
     # history for segment recompute. Measured slower than full history at
     # every tile size once BWD_VMEM_LIMIT_BYTES lifts the scoped-VMEM cap
@@ -307,6 +347,7 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
         os.environ.get("RM_TPU_BWD_TWO_LEVEL", "0") == "1"
         and steps % k == 0
         and steps >= 2 * k
+        and not track_min  # coverage routing needs the full history
     )
     if two_level:
         tile = min(BWD_ROWS_PER_TILE_2L, rows)
@@ -321,7 +362,8 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     else:
         tile = min(BWD_ROWS_PER_TILE, rows)
         kernel = functools.partial(
-            _bwd_kernel, sdf_c, unravel, steps, normals_eps, offsets, inverse
+            _bwd_kernel, sdf_c, unravel, steps, normals_eps, offsets, inverse,
+            track_min,
         )
         scratch = [pltpu.VMEM((steps, 3, tile, LANES), dtype)]
     # Pad rows to a tile multiple: rays edge-replicated (zero rays would sit
@@ -342,7 +384,7 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     )
     params_spec = pl.BlockSpec((1, p), lambda i: (0, 0), memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec(
-        (8, tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (n_g, tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     plane_out = jax.ShapeDtypeStruct((rows + pad, LANES), dtype)
     outs = pl.pallas_call(

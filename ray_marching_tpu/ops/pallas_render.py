@@ -61,54 +61,92 @@ def _normals_block(sdf_c, params, x, y, z, d_centre, offsets, inverse, eps):
     return nx / norm, ny / norm, nz / norm, lap
 
 
-def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
-                   params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
-                   valid_ref,
-                   ox_ref, oy_ref, oz_ref, od_ref,
-                   nx_ref, ny_ref, nz_ref, lap_ref):
-    params = unravel(params_ref[0, :])
-    x, y, z = px_ref[:], py_ref[:], pz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    valid = valid_ref[:] > 0.5
+def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
+                track_min=False):
+    """The in-kernel sphere-trace loop over one VMEM tile.
+
+    With ``track_min`` also returns the along-ray closest approach
+    ``min_i f(p_i)`` (same semantics as
+    :func:`ray_marching_tpu.render.march.march_with_closest`: the min spans
+    the ``steps`` pre-step evaluations, not the terminal one)."""
+    minf = jnp.full_like(x, jnp.finfo(x.dtype).max)
 
     if tau == 0.0:
 
         def body(_, carry):
-            x, y, z = carry
+            x, y, z, minf = carry
             d = sdf_c(params, x, y, z)
+            if track_min:
+                minf = jnp.minimum(minf, d)
             return (
                 jnp.where(valid, x + d * dx, x),
                 jnp.where(valid, y + d * dy, y),
                 jnp.where(valid, z + d * dz, z),
+                minf,
             )
 
         if steps <= MAX_UNROLL_STEPS:
             # Static unroll lets Mosaic software-pipeline across steps.
             for _ in range(steps):
-                x, y, z = body(None, (x, y, z))
+                x, y, z, minf = body(None, (x, y, z, minf))
         else:
-            x, y, z = lax.fori_loop(0, steps, body, (x, y, z))
+            x, y, z, minf = lax.fori_loop(0, steps, body, (x, y, z, minf))
     else:
 
         def cond(carry):
-            i, _, _, _, any_live = carry
+            i, _, _, _, _, any_live = carry
             return jnp.logical_and(i < steps, any_live)
 
         def body(carry):
-            i, x, y, z, _ = carry
+            i, x, y, z, minf, _ = carry
             d = sdf_c(params, x, y, z)
+            if track_min:
+                # Frozen rays re-evaluate an unchanged position, so the
+                # early while-loop exit cannot change the running min.
+                minf = jnp.minimum(minf, d)
             live = jnp.logical_and(jnp.abs(d) >= tau, valid)
             return (
                 i + 1,
                 jnp.where(live, x + d * dx, x),
                 jnp.where(live, y + d * dy, y),
                 jnp.where(live, z + d * dz, z),
+                minf,
                 jnp.any(live),
             )
 
-        _, x, y, z, _ = lax.while_loop(
-            cond, body, (jnp.int32(0), x, y, z, jnp.bool_(True))
+        _, x, y, z, minf, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), x, y, z, minf, jnp.bool_(True))
         )
+
+    if track_min:
+        return x, y, z, minf
+    return x, y, z
+
+
+def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
+                   track_min,
+                   params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
+                   valid_ref,
+                   ox_ref, oy_ref, oz_ref, od_ref,
+                   nx_ref, ny_ref, nz_ref, lap_ref, *maybe_minf_ref):
+    params = unravel(params_ref[0, :])
+    x, y, z = px_ref[:], py_ref[:], pz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    valid = valid_ref[:] > 0.5
+
+    marched = _march_tile(
+        sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
+        track_min=track_min,
+    )
+    if track_min:
+        x, y, z, minf = marched
+        # Invalid (pad) slots never march; park their min at +big so the
+        # coverage sigmoid reads a clear miss.
+        maybe_minf_ref[0][:] = jnp.where(
+            valid, minf, jnp.full_like(minf, jnp.finfo(minf.dtype).max)
+        )
+    else:
+        x, y, z = marched
 
     zero = jnp.zeros((), x.dtype)
     d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
@@ -125,10 +163,8 @@ def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
     lap_ref[:] = jnp.where(valid, lap, zero)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7))
-def fused_march_normals(sdf_c, unravel, flat_params, rays7, steps, tau,
-                        normals_eps, interpret):
-    """rays7 (7, rows, 128) → (8, rows, 128): x y z d nx ny nz lap."""
+def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
+                        normals_eps, interpret, track_min):
     rows = rays7.shape[1]
     rows_per_tile = min(DEFAULT_ROWS_PER_TILE, rows)
     # Rows may not divide the tile (e.g. multi-camera stacks of 8-row-padded
@@ -146,7 +182,7 @@ def fused_march_normals(sdf_c, unravel, flat_params, rays7, steps, tau,
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
     kernel = functools.partial(
         _render_kernel, sdf_c, unravel, steps, tau, offsets, inverse,
-        normals_eps,
+        normals_eps, track_min,
     )
     plane_spec = pl.BlockSpec(
         (rows_per_tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -154,20 +190,47 @@ def fused_march_normals(sdf_c, unravel, flat_params, rays7, steps, tau,
     params_spec = pl.BlockSpec(
         (1, flat_params.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    n_out = 9 if track_min else 8
     out_shape = jax.ShapeDtypeStruct((rows + pad, LANES), dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[params_spec] + [plane_spec] * 7,
-        out_specs=[plane_spec] * 8,
-        out_shape=[out_shape] * 8,
+        out_specs=[plane_spec] * n_out,
+        out_shape=[out_shape] * n_out,
         interpret=interpret,
     )(flat_params[None, :], *[rays7[i] for i in range(7)])
     out = jnp.stack(outs, axis=0)
     return out[:, :rows] if pad else out
 
 
-def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7))
+def fused_march_normals(sdf_c, unravel, flat_params, rays7, steps, tau,
+                        normals_eps, interpret):
+    """rays7 (7, rows, 128) → (8, rows, 128): x y z d nx ny nz lap."""
+    return _call_render_kernel(
+        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+        interpret, False,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7))
+def fused_march_normals_cov(sdf_c, unravel, flat_params, rays7, steps, tau,
+                            normals_eps, interpret):
+    """Coverage variant: rays7 (7, rows, 128) → (9, rows, 128) — the 8
+    planes of :func:`fused_march_normals` plus the along-ray closest
+    approach ``min_f`` (plane 8, ``march.march_with_closest`` semantics).
+    ``min_f`` is the silhouette-gradient carrier (render/silhouette.py);
+    its backward routes the cotangent to the arg-min march step inside the
+    fused backward kernel."""
+    return _call_render_kernel(
+        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+        interpret, True,
+    )
+
+
+def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7,
+                  track_min=False):
     """Plane-native jnp recompute of the kernel (for the backward pass)."""
     params = unravel(flat_params)
     px, py, pz, dx, dy, dz = (rays7[i] for i in range(6))
@@ -175,21 +238,26 @@ def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7):
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(px.dtype))
 
     def step(carry, _):
-        x, y, z = carry
+        x, y, z = carry[:3]
         d = sdf_c(params, x, y, z)
         if tau != 0.0:
             live = jnp.logical_and(jnp.abs(d) >= tau, valid)
         else:
             live = valid
-        return (
+        out = (
             jnp.where(live, x + d * dx, x),
             jnp.where(live, y + d * dy, y),
             jnp.where(live, z + d * dz, z),
-        ), None
+        )
+        if track_min:
+            out = out + (jnp.minimum(carry[3], d),)
+        return out, None
 
-    (x, y, z), _ = lax.scan(
-        jax.checkpoint(step), (px, py, pz), None, length=steps
-    )
+    big = jnp.full_like(px, jnp.finfo(px.dtype).max)
+    init = (px, py, pz, big) if track_min else (px, py, pz)
+    carry, _ = lax.scan(jax.checkpoint(step), init, None, length=steps)
+    x, y, z = carry[:3]
+    minf = carry[3] if track_min else big
     zero = jnp.zeros((), x.dtype)
     d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
     nx, ny, nz, lap = _normals_block(
@@ -199,7 +267,10 @@ def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7):
     ny = jnp.where(valid, ny, zero)
     nz = jnp.where(valid, nz, zero)
     lap = jnp.where(valid, lap, zero)
-    return jnp.stack([x, y, z, d_centre, nx, ny, nz, lap], axis=0)
+    planes = [x, y, z, d_centre, nx, ny, nz, lap]
+    if track_min:
+        planes.append(jnp.where(valid, minf, big))
+    return jnp.stack(planes, axis=0)
 
 
 def _fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
@@ -227,6 +298,36 @@ def _bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
 
 
 fused_march_normals.defvjp(_fwd, _bwd)
+
+
+def _fwd_cov(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+             interpret):
+    out = fused_march_normals_cov(
+        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
+    )
+    return out, (flat_params, rays7)
+
+
+def _bwd_cov(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
+    flat_params, rays7 = residuals
+    if tau == 0.0:
+        from ray_marching_tpu.ops.pallas_backward import fused_backward
+
+        return fused_backward(
+            sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
+            interpret, track_min=True,
+        )
+    _, vjp = jax.vjp(
+        functools.partial(
+            _reference_fn, sdf_c, unravel, steps, tau, normals_eps,
+            track_min=True,
+        ),
+        flat_params, rays7,
+    )
+    return vjp(g)
+
+
+fused_march_normals_cov.defvjp(_fwd_cov, _bwd_cov)
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ from ray_marching_tpu import quat
 from ray_marching_tpu.camera import CameraConfig, _pixel_center_grid
 from ray_marching_tpu.ops.pallas_render import (
     fused_march_normals,
+    fused_march_normals_cov,
     fused_march_normals_ift,
 )
 from ray_marching_tpu.render import shaders
@@ -69,6 +70,9 @@ class FastRenderer:
         self.scene = scene
         self.sdf_vec, self.sdf_c, self.init_params = compile_scene(scene, dtype)
         self.cyclic_cmap = shaders.load_cyclic_cmap(dtype)
+        self.cmap_coeffs = (
+            shaders.fourier_cmap_coeffs() if config.cmap_fourier else None
+        )
 
         h, w = config.px_height, config.px_width
         self.num_cameras = config.num_cameras
@@ -174,6 +178,12 @@ class FastRenderer:
         return ((log_d - lo) / (hi - lo)) ** (1.0 / 2.33)
 
     def _angle_colouring(self, real, imag, degree):
+        if self.cmap_coeffs is not None:  # gather-free Fourier evaluation
+            return list(
+                shaders.angle_colouring_fourier(
+                    real, imag, self.cmap_coeffs, degree
+                )
+            )
         k = self.cyclic_cmap.shape[0]
         idx = jnp.floor(
             (jnp.arctan2(imag, real) / math.tau + 0.5) * degree * k
@@ -252,15 +262,24 @@ class FastRenderer:
 
     # -- public API --------------------------------------------------------
 
-    def _march_planes(self, params, origin, dirs, steps, valid=None):
+    def _march_planes(self, params, origin, dirs, steps, valid=None,
+                      with_closest=False):
         """Fused march (+ optional reflection bounces, reference mirror
         formula control.py:179-194); returns the 8 hit planes and the final
         (possibly reflected) direction planes. ``valid`` overrides the
-        baked-in validity plane (sharded row shards)."""
+        baked-in validity plane (sharded row shards). ``with_closest``
+        additionally returns the along-ray closest-approach plane ``min_f``
+        (primary visibility only — incompatible with reflection bounces)."""
         cfg = self.config
         valid = self._valid if valid is None else valid
         flat_params, unravel = ravel_params_padded(params, self.dtype)
-        if cfg.backward == "implicit":
+        if with_closest:
+            # Coverage semantics match the modular render_with_alpha:
+            # always the exact (unrolled) backward, never IFT (min_f is an
+            # arg-min over the whole trajectory; the fixed-point shortcut
+            # does not apply to it).
+            march = fused_march_normals_cov
+        elif cfg.backward == "implicit":
             # custom_vjp takes positional args only.
             def march(*args):
                 return fused_march_normals_ift(
@@ -275,9 +294,13 @@ class FastRenderer:
                 self.sdf_c, unravel, flat_params, rays7, steps, cfg.tau,
                 cfg.normals_eps, self.interpret,
             )
-            return [out[i] for i in range(8)]
+            return [out[i] for i in range(out.shape[0])]
 
         hit = run(origin, dirs)
+        if with_closest:
+            assert cfg.reflection_bounces == 0
+            minf = hit[8]
+            return hit[:8], dirs, minf
         dx, dy, dz = dirs
         eps = jnp.asarray(cfg.normals_eps, self.dtype)
         for _ in range(cfg.reflection_bounces):
@@ -299,6 +322,38 @@ class FastRenderer:
             mode, degree, orientation, origin, final_dirs, hit
         )
         return self._assemble(channels)
+
+    def render_with_alpha(self, params, orientation, translation, *,
+                          mode: int = 0, degree: int = 1,
+                          marching_steps: Optional[int] = None,
+                          beta: Optional[float] = None):
+        """Render one frame plus a soft silhouette coverage mask —
+        the fused-kernel counterpart of the modular
+        ``Renderer.render_with_alpha`` (same ``α = σ(shift − min_f/β)``
+        semantics; min_f comes out of the mega-kernel as a 9th plane and
+        its gradient is routed to the arg-min march step inside the fused
+        backward kernel).
+
+        Returns:
+            (image (N, H, W, 3), alpha (N, H, W, 1)).
+        """
+        from ray_marching_tpu.render.silhouette import soft_coverage
+
+        cfg = self.config
+        if cfg.reflection_bounces:
+            raise ValueError("render_with_alpha: reflection bounces unsupported")
+        steps = cfg.marching_steps if marching_steps is None else marching_steps
+        beta = cfg.silhouette_beta if beta is None else beta
+        origin, dirs = self._pose_planes(orientation, translation)
+        hit, final_dirs, minf = self._march_planes(
+            params, origin, dirs, steps, with_closest=True
+        )
+        channels = self._shade(
+            mode, degree, orientation, origin, final_dirs, hit
+        )
+        image = self._assemble(channels)
+        alpha = self._assemble([soft_coverage(minf, beta)])
+        return image, alpha
 
     def _assemble(self, channels):
         h, w = self.config.px_height, self.config.px_width

@@ -61,6 +61,11 @@ class RenderConfig:
     reflection_bounces: int = 0
     use_autodiff_normals: bool = False
     use_pallas: bool = False
+    # Gather-free tangent/spin colourmap: evaluate an 8-harmonic Fourier
+    # fit of the cyclic map (max err 0.02/255 vs the exact (4096, 3) table
+    # gather, which golden parity pins — hence opt-in). Pure VPU math; the
+    # win is the removed per-pixel gather on TPU.
+    cmap_fourier: bool = False
 
     @property
     def camera_config(self) -> CameraConfig:
@@ -87,6 +92,9 @@ class Renderer:
         self.camera = Camera(config.camera_config, dtype=dtype, grid_dtype=grid_dtype)
         self.normals = NormalsEstimator(config.normals_eps, dtype=dtype)
         self.cyclic_cmap = shaders.load_cyclic_cmap(dtype)
+        self.cmap_coeffs = (
+            shaders.fourier_cmap_coeffs() if config.cmap_fourier else None
+        )
 
     # -- the pure frame function ------------------------------------------
 
@@ -132,6 +140,7 @@ class Renderer:
             surface_laplacian=surface_laplacian,
             surface_distances=surface_distances,
             cyclic_cmap=self.cyclic_cmap,
+            cmap_coeffs=self.cmap_coeffs,
             degree=degree,
             axis_names=axis_names,
         )
@@ -188,6 +197,7 @@ class Renderer:
             surface_laplacian=surface_laplacian,
             surface_distances=surface_distances,
             cyclic_cmap=self.cyclic_cmap,
+            cmap_coeffs=self.cmap_coeffs,
             degree=degree,
             axis_names=axis_names,
         )
@@ -218,6 +228,7 @@ class Renderer:
             surface_laplacian=surface_laplacian,
             surface_distances=surface_distances,
             cyclic_cmap=self.cyclic_cmap,
+            cmap_coeffs=self.cmap_coeffs,
             degree=degree,
             axis_names=axis_names,
         )

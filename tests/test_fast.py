@@ -5,6 +5,8 @@ reference, so agreement here transitively pins the fast path to reference
 semantics.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -264,6 +266,136 @@ def test_neural_scene_fast_gradients():
             np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-6, atol=1e-10,
             err_msg=k,
         )
+
+
+def make_alpha_pair(num_cameras=2, steps=16, tau=0.0):
+    """The silhouette fixture (box, face-on + side view) as a
+    modular/fast pair — see tests/test_silhouette.py for why this scene
+    is the canonical pixel-loss stall."""
+    from ray_marching_tpu.scene.graph import Box
+
+    cfg = RenderConfig(
+        num_cameras=num_cameras, px_width=48, px_height=48,
+        focal_length=PX * 48, sensor_width=PX * 48, sensor_height=PX * 48,
+        marching_steps=steps, normals_eps=1e-3, tau=tau,
+    )
+    node = Box(halfsides=(0.3, 0.3, 0.2))
+    r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    s2 = 0.5 ** 0.5
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0], [s2, 0.0, -s2, 0.0]][:num_cameras],
+                    jnp.float64)
+    t = jnp.asarray([[0.0, 0.0, 2.0], [2.0, 0.0, 0.0]][:num_cameras],
+                    jnp.float64)
+    return r, f, q, t
+
+
+def test_render_with_alpha_matches_modular():
+    """The mega-kernel's 9th plane (min_f) reproduces the modular
+    march_with_closest coverage exactly: image and alpha parity."""
+    r, f, q, t = make_alpha_pair()
+    ia, aa = r.render_with_alpha(r.init_params, q, t, mode=0, beta=0.1)
+    ib, ab = f.render_with_alpha(f.init_params, q, t, mode=0, beta=0.1)
+    assert np.asarray(ab).shape == (2, 48, 48, 1)
+    np.testing.assert_allclose(np.asarray(ia), np.asarray(ib),
+                               rtol=1e-9, atol=1e-11, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(aa), np.asarray(ab),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_alpha_gradients_match_modular():
+    """Silhouette gradients through the fused backward kernel: the min_f
+    cotangent is routed to the arg-min march step in-kernel and must match
+    the modular jnp.minimum-chain autodiff."""
+    from ray_marching_tpu.render.silhouette import composite
+
+    r, f, q, t = make_alpha_pair()
+
+    def loss(render_fn, p):
+        img, a = render_fn(p, q, t, mode=0, beta=0.1)
+        return jnp.mean(composite(img, a) ** 2) + jnp.mean(a ** 2)
+
+    g1 = jax.grad(lambda p: loss(r.render_with_alpha, p))(r.init_params)
+    g2 = jax.grad(lambda p: loss(f.render_with_alpha, p))(f.init_params)
+    h1 = np.asarray(g1["halfsides"])
+    h2 = np.asarray(g2["halfsides"])
+    assert np.abs(h1).min() > 0  # the silhouette signal exists
+    np.testing.assert_allclose(h1, h2, rtol=1e-6, atol=1e-12)
+
+
+def test_alpha_pose_gradients_match_modular():
+    """Camera-pose cotangents through the coverage path (min_f depends on
+    the ray origin/direction planes via the whole trajectory)."""
+    r, f, q, t = make_alpha_pair(steps=12)
+
+    def loss(render_fn, q, t):
+        _, a = render_fn(q, t, mode=0, beta=0.1)
+        return jnp.mean(a ** 2)
+
+    g1 = jax.grad(
+        lambda q, t: loss(partial(r.render_with_alpha, r.init_params), q, t),
+        argnums=(0, 1),
+    )(q, t)
+    g2 = jax.grad(
+        lambda q, t: loss(partial(f.render_with_alpha, f.init_params), q, t),
+        argnums=(0, 1),
+    )(q, t)
+    for a, b in zip(g1, g2):
+        # atol: the axis-aligned pose zeroes several components to pure
+        # roundoff (~1e-16), where the two summation orders differ.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-12)
+
+
+def test_alpha_tau_fallback():
+    """tau > 0 routes the coverage backward through the checkpointed-scan
+    recompute; values match tau=0 for tiny tau and grads stay finite."""
+    r0, f0, q, t = make_alpha_pair(num_cameras=1, steps=12)
+    _, f_tau, _, _ = make_alpha_pair(num_cameras=1, steps=12, tau=1e-9)
+    _, a0 = f0.render_with_alpha(f0.init_params, q, t, mode=0, beta=0.1)
+    _, a1 = f_tau.render_with_alpha(f_tau.init_params, q, t, mode=0, beta=0.1)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), rtol=1e-9)
+    g = jax.grad(
+        lambda p: jnp.mean(
+            f_tau.render_with_alpha(p, q, t, mode=0, beta=0.1)[1] ** 2
+        )
+    )(f_tau.init_params)
+    assert np.isfinite(np.asarray(g["halfsides"])).all()
+
+
+def test_alpha_reflection_bounces_rejected():
+    from ray_marching_tpu.scene.graph import Box
+
+    cfg = RenderConfig(px_width=16, px_height=8, marching_steps=4,
+                       reflection_bounces=1)
+    f = FastRenderer(Box(halfsides=(0.3, 0.3, 0.2)), cfg, interpret=True)
+    q, t = f.default_pose()
+    with pytest.raises(ValueError, match="reflection bounces"):
+        f.render_with_alpha(f.init_params, q, t)
+
+
+def test_fourier_cmap_parity_fast_vs_modular():
+    """With cmap_fourier both renderers evaluate the same series — exact
+    agreement (and near-agreement with the gather path)."""
+    import dataclasses
+
+    r0, f0, q, t = make_pair(steps=12)
+    cfg = dataclasses.replace(r0.config, cmap_fourier=True)
+    node = registry.make_scene("test_scene2")
+    r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    for mode in (6, 7):
+        a = np.asarray(r.render(r.init_params, q, t, mode=mode, degree=2))
+        b = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=2))
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12,
+                                   equal_nan=True)
+        # Against the exact gather: within table-quantization + fit error
+        # (the brightness factor is ≤ ~1 here).
+        exact = np.asarray(r0.render(r0.init_params, q, t, mode=mode, degree=2))
+        mask = np.isfinite(exact)
+        assert np.abs((exact - b)[mask]).max() < 2e-2
 
 
 def test_multi_camera_matches_modular():

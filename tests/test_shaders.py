@@ -2,6 +2,8 @@
 
 import math
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -118,3 +120,70 @@ def test_shade_all_has_all_modes():
     )
     out = shaders.shade_all(**kwargs)
     assert set(out) == set(shaders.MODES)
+
+
+# -- gather-free Fourier colourmap ------------------------------------------
+
+
+def test_fourier_cmap_matches_table_at_bin_centres():
+    """The 8-harmonic fit reproduces every table row to < 1e-3 (0.26/255)."""
+    cmap = np.asarray(shaders.load_cyclic_cmap(jnp.float64))
+    coeffs = shaders.fourier_cmap_coeffs()
+    k = cmap.shape[0]
+    # Bin centre i+0.5 ↔ complex direction of angle (i+0.5)·2π/k − π.
+    ang = (np.arange(k) + 0.5) * (2 * np.pi / k) - np.pi
+    re = jnp.asarray(np.cos(ang))
+    im = jnp.asarray(np.sin(ang))
+    cols = shaders.angle_colouring_fourier(re, im, coeffs, 1)
+    got = np.stack([np.asarray(c) for c in cols], axis=-1)
+    assert np.abs(got - cmap).max() < 1e-3
+
+
+def test_fourier_matches_gather_random_angles():
+    """At random angles and degrees the continuous evaluation stays within
+    table quantization + fit error of the exact gather."""
+    cmap = shaders.load_cyclic_cmap(jnp.float64)
+    coeffs = shaders.fourier_cmap_coeffs()
+    rng = np.random.default_rng(0)
+    re = jnp.asarray(rng.standard_normal((64,)))
+    im = jnp.asarray(rng.standard_normal((64,)))
+    for degree in (1, 2, 3):
+        exact = np.asarray(shaders.angle_colouring(re, im, cmap, degree))
+        four = np.stack(
+            [
+                np.asarray(c)
+                for c in shaders.angle_colouring_fourier(re, im, coeffs, degree)
+            ],
+            axis=-1,
+        )
+        # In-bin slope of the map bounds the floor-vs-continuous gap.
+        assert np.abs(exact - four).max() < 4e-3 * degree
+
+
+def test_fourier_zero_modulus_matches_gather():
+    """atan2(0, 0) = 0 in the gather path; the Fourier path must agree."""
+    cmap = shaders.load_cyclic_cmap(jnp.float64)
+    coeffs = shaders.fourier_cmap_coeffs()
+    z = jnp.zeros((1,))
+    for degree in (1, 2):
+        exact = np.asarray(shaders.angle_colouring(z, z, cmap, degree))[0]
+        four = np.stack(
+            [np.asarray(c) for c in shaders.angle_colouring_fourier(z, z, coeffs, degree)],
+            axis=-1,
+        )[0]
+        np.testing.assert_allclose(four, exact, atol=2e-3)
+
+
+def test_fourier_is_differentiable_in_angle():
+    """The exact gather is piecewise-constant (zero angle gradient); the
+    Fourier evaluation carries a real gradient — finite and generically
+    nonzero."""
+    coeffs = shaders.fourier_cmap_coeffs()
+
+    def f(re, im):
+        cols = shaders.angle_colouring_fourier(re, im, coeffs, 1)
+        return sum(jnp.sum(c) for c in cols)
+
+    g = jax.grad(f, argnums=(0, 1))(jnp.asarray([0.3]), jnp.asarray([0.8]))
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+    assert any(np.abs(np.asarray(x)).max() > 1e-3 for x in g)
