@@ -45,6 +45,15 @@ def _add_render_args(p):
                         "mega-kernel (single camera)")
     p.add_argument("--backward", default="unroll",
                    choices=["unroll", "implicit"])
+    p.add_argument("--grid-dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="camera ray-grid construction dtype (float32 "
+                        "reproduces the reference's f32 grid quirk, "
+                        "camera.py; float64 builds exact pixel centers)")
+    p.add_argument("--cmap-fourier", action="store_true",
+                   help="gather-free tangent/spin colourmap (8-harmonic "
+                        "Fourier fit, max err 0.02/255; ~2.3x faster "
+                        "domain-coloured modes on TPU)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
 
 
@@ -70,7 +79,9 @@ def _build_renderer(args):
         reflection_bounces=args.bounces,
         use_pallas=args.pallas,
         backward=args.backward,
+        cmap_fourier=getattr(args, "cmap_fourier", False),
     )
+    grid_dtype = getattr(np, getattr(args, "grid_dtype", "float32"))
     if getattr(args, "scene_file", None):
         from pathlib import Path
 
@@ -84,8 +95,10 @@ def _build_renderer(args):
     if getattr(args, "fast", False):
         from ray_marching_tpu.render.fast import FastRenderer
 
-        return FastRenderer(scene, cfg, dtype=getattr(jnp, args.dtype))
-    return Renderer(scene, cfg, dtype=getattr(jnp, args.dtype))
+        return FastRenderer(scene, cfg, dtype=getattr(jnp, args.dtype),
+                            grid_dtype=grid_dtype)
+    return Renderer(scene, cfg, dtype=getattr(jnp, args.dtype),
+                    grid_dtype=grid_dtype)
 
 
 def _parse_pose(spec, dtype):

@@ -94,11 +94,12 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     zero = jnp.zeros((), x.dtype)
 
     # ---- forward recompute, positions logged to VMEM ----
-    # With track_min also recover the arg-min march step of the coverage
-    # plane min_f = min_i f(p_i): strict-inequality updates reproduce the
-    # jnp.minimum-chain VJP routing (ties are measure-zero; a tie would
-    # split 0.5/0.5 under minimum-chain autodiff but routes fully to the
-    # first attaining step here).
+    # With track_min also recover min_f and the FIRST step attaining it
+    # (strict-inequality updates). Ties are NOT measure-zero here: rays
+    # that converge land on the surface and re-evaluate d == min_f for
+    # every remaining step, and jnp.minimum-chain autodiff halves the
+    # cotangent at each tied node — the reverse sweep below reproduces
+    # that splitting exactly.
     def fwd_body(i, carry):
         x, y, z = carry[:3]
         hist_ref[i, 0] = x
@@ -130,7 +131,7 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
         )
     carry = lax.fori_loop(0, steps, fwd_body, init)
     x, y, z = carry[:3]
-    amin = carry[4] if track_min else None
+    minf, amin = (carry[3], carry[4]) if track_min else (None, None)
 
     # ---- tail: terminal distance + normals + laplacian ----
     def tail(flat, x, y, z):
@@ -156,11 +157,14 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     gz = gz + g_ref[2]
 
     # ---- reverse sweep over the march steps ----
-    # With track_min the step also emits its SDF evaluation d_i so the
-    # coverage cotangent g_ref[8] can be injected at the arg-min step: the
-    # extra output cotangent flows into both the parameter cotangent and
-    # this step's position cotangent (and from there back through earlier
-    # steps), exactly as autodiff of the minimum chain would route it.
+    # With track_min the step also emits its SDF evaluation d_i, and the
+    # min_f cotangent is distributed over the steps exactly as autodiff of
+    # the jnp.minimum chain would: processing in reverse with a carried
+    # remainder c, every tied node (d_i == min_f, reached after the first
+    # strict attainment) takes c/2 and halves the carry; the first
+    # attaining step takes all that remains. The injected cotangent flows
+    # into both the parameter cotangent and this step's position cotangent
+    # (and from there back through earlier steps).
     def step_fn(flat, x, y, z, vx, vy, vz):
         params = unravel(flat)
         d = sdf_c(params, x, y, z)
@@ -172,26 +176,32 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
         return out + (d,) if track_min else out
 
     def bwd_body(j, carry):
-        gx, gy, gz, gtheta, gvx, gvy, gvz = carry
+        gx, gy, gz, gtheta, gvx, gvy, gvz, c = carry
         i = steps - 1 - j
         xi = hist_ref[i, 0]
         yi = hist_ref[i, 1]
         zi = hist_ref[i, 2]
-        _, vjp = jax.vjp(step_fn, flat, xi, yi, zi, dx, dy, dz)
+        out, vjp = jax.vjp(step_fn, flat, xi, yi, zi, dx, dy, dz)
         if track_min:
-            gd = jnp.where(
-                jnp.logical_and(amin == i, valid), g_ref[8],
-                jnp.zeros_like(gx),
-            )
+            di = out[3]
+            first = amin == i
+            tie = jnp.logical_and(di == minf, jnp.logical_not(first))
+            gd = jnp.where(first, c, jnp.where(tie, 0.5 * c, jnp.zeros_like(c)))
+            c = jnp.where(first, jnp.zeros_like(c), jnp.where(tie, 0.5 * c, c))
             cot = (gx, gy, gz, gd)
         else:
             cot = (gx, gy, gz)
         dtheta, gx, gy, gz, dvx, dvy, dvz = vjp(cot)
-        return (gx, gy, gz, gtheta + dtheta, gvx + dvx, gvy + dvy, gvz + dvz)
+        return (gx, gy, gz, gtheta + dtheta, gvx + dvx, gvy + dvy, gvz + dvz, c)
 
     gvz0 = jnp.zeros_like(gx)
-    gx, gy, gz, gtheta, gvx, gvy, gvz = lax.fori_loop(
-        0, steps, bwd_body, (gx, gy, gz, gtheta, gvz0, gvz0, gvz0)
+    c0 = (
+        jnp.where(valid, g_ref[8], jnp.zeros_like(gx))
+        if track_min
+        else gvz0
+    )
+    gx, gy, gz, gtheta, gvx, gvy, gvz, _ = lax.fori_loop(
+        0, steps, bwd_body, (gx, gy, gz, gtheta, gvz0, gvz0, gvz0, c0)
     )
 
     gx0_ref[:] = gx

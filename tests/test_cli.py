@@ -99,3 +99,10 @@ def test_scene_file_bad_type_errors(tmp_path):
 
     with pytest.raises(ValueError, match="unknown scene node type"):
         load_scene(p)
+
+
+def test_render_fourier_cmap_and_f64_grid(tmp_path):
+    out = tmp_path / "spin.png"
+    run(["render", *BASE, "--mode", "spin", "--cmap-fourier",
+         "--grid-dtype", "float64", "-o", str(out)])
+    assert out.exists()

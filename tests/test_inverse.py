@@ -175,3 +175,42 @@ def test_adamw_freezes_masked_leaves_and_pose(setup):
         )
     np.testing.assert_array_equal(np.asarray(out["orientation"]), np.asarray(q))
     np.testing.assert_array_equal(np.asarray(out["translation"]), np.asarray(t))
+
+
+def test_optimize_fast_renderer_silhouette(setup):
+    """Silhouette-aware inverse rendering end-to-end on the fused-kernel
+    path: optimize() + FastRenderer.render_with_alpha recover a box
+    half-side that the plain pixel loss cannot observe (see
+    tests/test_silhouette.py for the stall analysis)."""
+    from ray_marching_tpu.render.fast import FastRenderer
+    from ray_marching_tpu.render.silhouette import composite
+    from ray_marching_tpu.scene.graph import Box
+
+    beta = 0.1
+    cfg = RenderConfig(
+        num_cameras=2, px_width=48, px_height=48,
+        focal_length=PX * 48, sensor_width=PX * 48, sensor_height=PX * 48,
+        marching_steps=24, normals_eps=1e-3, silhouette_beta=beta,
+    )
+    f = FastRenderer(Box(halfsides=(0.3, 0.3, 0.2)), cfg,
+                     dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    s2 = 0.5 ** 0.5
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0], [s2, 0.0, -s2, 0.0]], jnp.float64)
+    t = jnp.asarray([[0.0, 0.0, 2.0], [2.0, 0.0, 0.0]], jnp.float64)
+    true_params = {"halfsides": jnp.asarray([0.5, 0.5, 0.2], jnp.float64)}
+    img_t, a_t = f.render_with_alpha(true_params, q, t, mode=0, beta=beta)
+    out = optimize(
+        f, composite(img_t, a_t), q, t,
+        InverseConfig(learning_rate=2e-2, steps=150, mode=0,
+                      trainable=["halfsides"], silhouette_beta=beta),
+        target_alpha=a_t,
+    )
+    # This landscape is chaotic (a 1e-10 init perturbation moves the
+    # *modular* endpoint by ~0.09), so assert robust convergence — large
+    # loss reduction and every half-side most of the way to the target —
+    # not a tight endpoint. Plain pixel loss moves nothing at all here.
+    h = np.asarray(out["params"]["halfsides"])
+    np.testing.assert_allclose(h, [0.5, 0.5, 0.2], atol=0.1)
+    assert out["losses"][-1] < 0.25 * out["losses"][0]
+    assert h[0] > 0.42 and h[1] > 0.42  # grew from 0.3 toward 0.5
