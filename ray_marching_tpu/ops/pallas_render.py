@@ -39,6 +39,9 @@ LANES = 128
 # unrolled march steps beat 256-row tiles + fori_loop by ~1.3x.
 DEFAULT_ROWS_PER_TILE = 128
 MAX_UNROLL_STEPS = 64
+# Early-exit (tau > 0) convergence-check cadence: steps per while_loop
+# segment. See _march_tile.
+EXIT_SEG = 8
 
 
 def _normals_block(sdf_c, params, x, y, z, d_centre, offsets, inverse, eps):
@@ -92,31 +95,45 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
         else:
             x, y, z, minf = lax.fori_loop(0, steps, body, (x, y, z, minf))
     else:
-
-        def cond(carry):
-            i, _, _, _, _, any_live = carry
-            return jnp.logical_and(i < steps, any_live)
-
-        def body(carry):
-            i, x, y, z, minf, _ = carry
+        # Early-exit march with a SEGMENT-granularity check: each
+        # while_loop iteration runs EXIT_SEG statically-unrolled masked
+        # steps, then the whole tile exits once every ray is within tau.
+        # The round-1 per-step while_loop exit lost more to loop overhead
+        # and lost unrolling than the skipped evaluations saved; the
+        # segment cadence keeps the unrolled-step pipelining and pays the
+        # loop check 1/EXIT_SEG as often. Frozen rays re-evaluate an
+        # unchanged position, so neither the per-step mask, the early
+        # exit, nor the always-run masked tail changes any result.
+        def masked_step(x, y, z, minf):
             d = sdf_c(params, x, y, z)
             if track_min:
-                # Frozen rays re-evaluate an unchanged position, so the
-                # early while-loop exit cannot change the running min.
                 minf = jnp.minimum(minf, d)
             live = jnp.logical_and(jnp.abs(d) >= tau, valid)
             return (
-                i + 1,
                 jnp.where(live, x + d * dx, x),
                 jnp.where(live, y + d * dy, y),
                 jnp.where(live, z + d * dz, z),
                 minf,
-                jnp.any(live),
+                live,
             )
+
+        n_seg, tail = divmod(steps, EXIT_SEG)
+
+        def cond(carry):
+            s, _, _, _, _, any_live = carry
+            return jnp.logical_and(s < n_seg, any_live)
+
+        def body(carry):
+            s, x, y, z, minf, _ = carry
+            for _ in range(EXIT_SEG):
+                x, y, z, minf, live = masked_step(x, y, z, minf)
+            return (s + 1, x, y, z, minf, jnp.any(live))
 
         _, x, y, z, minf, _ = lax.while_loop(
             cond, body, (jnp.int32(0), x, y, z, minf, jnp.bool_(True))
         )
+        for _ in range(tail):
+            x, y, z, minf, _ = masked_step(x, y, z, minf)
 
     if track_min:
         return x, y, z, minf
