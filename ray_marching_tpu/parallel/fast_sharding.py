@@ -50,14 +50,19 @@ def _check_rows(fast, mesh: Mesh):
 
 
 def make_channel_fn(fast, mesh: Mesh, *, mode: int = 0, degree: int = 1,
-                    marching_steps: Optional[int] = None):
+                    marching_steps: Optional[int] = None,
+                    with_alpha: bool = False, beta: Optional[float] = None):
     """The un-jitted sharded channels function:
     ``(params, orientation, translation) -> (3, rows, 128)`` RGB planes,
     row-sharded over the mesh. Differentiable (params cotangent psum'd by
-    shard_map's transpose)."""
+    shard_map's transpose). With ``with_alpha`` a 4th plane carries the
+    soft silhouette coverage (min_f rides the mega-kernel, its cotangent
+    is routed in the fused backward — entirely per-ray, so sharding needs
+    no extra collectives)."""
     _check_rows(fast, mesh)
     axes, plane_spec, chan_spec = _plane_specs(mesh)
     steps = marching_steps or fast.config.marching_steps
+    beta = fast.config.silhouette_beta if beta is None else beta
 
     def local(params, orientation, translation,
               p0x, p0y, p0z, d0x, d0y, d0z, valid):
@@ -65,13 +70,22 @@ def make_channel_fn(fast, mesh: Mesh, *, mode: int = 0, degree: int = 1,
             orientation, translation, pos0=(p0x, p0y, p0z),
             dir0=(d0x, d0y, d0z),
         )
-        hit, final_dirs = fast._march_planes(
-            params, origin, dirs, steps, valid=valid
-        )
+        if with_alpha:
+            from ray_marching_tpu.render.silhouette import soft_coverage
+
+            hit, final_dirs, minf = fast._march_planes(
+                params, origin, dirs, steps, valid=valid, with_closest=True
+            )
+        else:
+            hit, final_dirs = fast._march_planes(
+                params, origin, dirs, steps, valid=valid
+            )
         channels = fast._shade(
             mode, degree, orientation, origin, final_dirs, hit,
             valid_b=valid > 0.5, axis_names=axes,
         )
+        if with_alpha:
+            channels = list(channels) + [soft_coverage(minf, beta)]
         return jnp.stack(channels, axis=0)
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
@@ -105,6 +119,29 @@ def fast_shard_render(fast, mesh: Mesh, *, mode: int = 0, degree: int = 1,
     def render(params, orientation, translation):
         ch = chan_fn(params, orientation, translation)
         return fast._assemble([ch[0], ch[1], ch[2]])
+
+    return jax.jit(render, in_shardings=(rep, rep, rep))
+
+
+def fast_shard_render_with_alpha(fast, mesh: Mesh, *, mode: int = 0,
+                                 degree: int = 1,
+                                 marching_steps: Optional[int] = None,
+                                 beta: Optional[float] = None):
+    """A jitted sharded render-with-coverage step on the fused-kernel path:
+    ``(params, orientation, translation) -> (image (1, H, W, 3),
+    alpha (1, H, W, 1))``."""
+    chan_fn = make_channel_fn(
+        fast, mesh, mode=mode, degree=degree, marching_steps=marching_steps,
+        with_alpha=True, beta=beta,
+    )
+    rep = NamedSharding(mesh, P())
+
+    def render(params, orientation, translation):
+        ch = chan_fn(params, orientation, translation)
+        return (
+            fast._assemble([ch[0], ch[1], ch[2]]),
+            fast._assemble([ch[3]]),
+        )
 
     return jax.jit(render, in_shardings=(rep, rep, rep))
 
@@ -155,5 +192,60 @@ def fast_train_step(fast, mesh: Mesh, optimizer, *, mode: int = 0,
     return jax.jit(
         step,
         in_shardings=(rep, rep, plane_sh, rep, rep),
+        out_shardings=(rep, rep, rep),
+    )
+
+
+def fast_train_step_silhouette(fast, mesh: Mesh, optimizer, *, mode: int = 0,
+                               degree: int = 1,
+                               marching_steps: Optional[int] = None,
+                               beta: Optional[float] = None,
+                               silhouette_weight: float = 1.0,
+                               background: float = 0.0):
+    """Silhouette-aware sharded train step on the fused-kernel path:
+    ``(params, opt_state, target_planes, target_alpha_planes, orientation,
+    translation) -> (params, opt_state, loss)``.
+
+    Same objective as :func:`ray_marching_tpu.optim.inverse.optimize` with
+    ``silhouette_beta`` set: MSE of the α-composited image against a
+    composited target plus ``silhouette_weight``·MSE of the coverage mask
+    (both image-space means, computed in plane space over valid slots).
+    Coverage is per-ray, so sharding adds no collectives beyond the psum'd
+    parameter cotangents."""
+    import optax
+
+    chan_fn = make_channel_fn(
+        fast, mesh, mode=mode, degree=degree, marching_steps=marching_steps,
+        with_alpha=True, beta=beta,
+    )
+    _, _, chan_spec = _plane_specs(mesh)
+    rep = NamedSharding(mesh, P())
+    plane_sh = NamedSharding(mesh, chan_spec)
+    n_px = fast.num_cameras * fast.total
+    valid = fast._valid
+
+    def loss_fn(params, orientation, translation, target, target_alpha):
+        ch = chan_fn(params, orientation, translation)
+        rgb, alpha = ch[:3], ch[3]
+        comp = alpha[None] * rgb + (1.0 - alpha)[None] * background
+        err = (comp - target) * valid[None]
+        aerr = (alpha - target_alpha[0]) * valid
+        return (
+            jnp.sum(err * err) / (n_px * 3)
+            + silhouette_weight * jnp.sum(aerr * aerr) / n_px
+        )
+
+    def step(params, opt_state, target, target_alpha, orientation,
+             translation):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, orientation, translation, target, target_alpha
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, plane_sh, plane_sh, rep, rep),
         out_shardings=(rep, rep, rep),
     )

@@ -373,11 +373,12 @@ class FastRenderer:
         return jnp.stack(frames, axis=0)
 
     def image_to_planes(self, image):
-        """Inverse of :meth:`_assemble`: (N, H, W, 3) image → (3, rows, 128)
-        channel planes (pad slots zero). Used to lay a target image out like
-        the sharded render's channel output for plane-space losses."""
+        """Inverse of :meth:`_assemble`: (N, H, W, C) image → (C, rows, 128)
+        channel planes (pad slots zero). Used to lay a target image (or a
+        target alpha mask, C=1) out like the sharded render's channel
+        output for plane-space losses."""
         chans = []
-        for c in range(3):
+        for c in range(image.shape[-1]):
             blocks = []
             for n in range(self.num_cameras):
                 flat = image[n, :, :, c].reshape(-1)

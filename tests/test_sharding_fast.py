@@ -130,3 +130,69 @@ def test_multi_camera_rejected():
     mesh = make_mesh((8,), ("rays",))
     with pytest.raises(ValueError, match="single-camera"):
         fs.make_channel_fn(f, mesh)
+
+
+def test_sharded_render_with_alpha_matches_single_device(setup):
+    """Coverage is per-ray — the sharded alpha must equal the single-device
+    fast render_with_alpha bit-for-tolerance, image included."""
+    f, q, t = setup
+    mesh = make_mesh((8,), ("rays",))
+    ia, aa = f.render_with_alpha(f.init_params, q, t, mode=0, beta=0.05)
+    render = fs.fast_shard_render_with_alpha(f, mesh, mode=0, beta=0.05)
+    ib, ab = render(f.init_params, q, t)
+    np.testing.assert_allclose(np.asarray(ia), np.asarray(ib),
+                               rtol=1e-10, atol=1e-11, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(aa), np.asarray(ab),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_silhouette_train_step_descends(setup):
+    """The silhouette-aware sharded train step reproduces optimize()'s
+    composite+mask objective and descends on the fused path."""
+    from ray_marching_tpu.render.silhouette import composite
+
+    f, q, t = setup
+    beta = 0.05
+    mesh = make_mesh((2, 4), ("host", "chip"))
+    true = jax.tree.map(lambda x: x, f.init_params)
+    true["c1"]["c0"]["radius"] = jnp.asarray(0.65, jnp.float64)
+    img_t, a_t = f.render_with_alpha(true, q, t, mode=0, beta=beta)
+    tp = fs.target_planes(f, mesh, composite(img_t, a_t))
+    tap = fs.target_planes(f, mesh, a_t)
+
+    # The plane-space sharded loss must equal the image-space objective.
+    chan = fs.make_channel_fn(f, mesh, mode=0, with_alpha=True, beta=beta)
+
+    def loss_sh(p):
+        ch = chan(p, q, t)
+        comp = ch[3][None] * ch[:3]
+        err = (comp - tp) * f._valid[None]
+        aerr = (ch[3] - tap[0]) * f._valid
+        return jnp.sum(err * err) / (f.total * 3) + jnp.sum(aerr * aerr) / f.total
+
+    def loss_sd(p):
+        img, a = f.render_with_alpha(p, q, t, mode=0, beta=beta)
+        return (
+            jnp.mean((composite(img, a) - composite(img_t, a_t)) ** 2)
+            + jnp.mean((a - a_t) ** 2)
+        )
+
+    l0, g0 = jax.value_and_grad(loss_sd)(f.init_params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_sh))(f.init_params)
+    assert abs(float(l0) - float(l1)) < 1e-14
+    from ray_marching_tpu.scene.graph import param_paths
+    p0, p1 = param_paths(g0), param_paths(g1)
+    for k in p0:
+        np.testing.assert_allclose(
+            np.asarray(p0[k]), np.asarray(p1[k]), rtol=1e-9, atol=1e-12,
+            err_msg=k,
+        )
+
+    opt = optax.adam(2e-2)
+    step = fs.fast_train_step_silhouette(f, mesh, opt, mode=0, beta=beta)
+    params, opt_state = f.init_params, opt.init(f.init_params)
+    losses = []
+    for _ in range(25):
+        params, opt_state, loss = step(params, opt_state, tp, tap, q, t)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.75
