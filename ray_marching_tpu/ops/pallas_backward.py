@@ -78,7 +78,7 @@ BWD_ROWS_PER_TILE_2L = 128
 MAX_UNROLL_STEPS = 64
 
 
-def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
+def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
                 track_min,
                 params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
                 valid_ref, g_ref,
@@ -93,6 +93,14 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     valid = valid_ref[:] > 0.5
     zero = jnp.zeros((), x.dtype)
 
+    def live_mask(d):
+        # tau > 0 freezes converged rays exactly like the forward march;
+        # the mask itself is non-differentiable (treated as constant),
+        # matching autodiff of the masked scan step.
+        if tau == 0.0:
+            return valid
+        return jnp.logical_and(jnp.abs(d) >= tau, valid)
+
     # ---- forward recompute, positions logged to VMEM ----
     # With track_min also recover min_f and the FIRST step attaining it
     # (strict-inequality updates). Ties are NOT measure-zero here: rays
@@ -100,16 +108,17 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     # every remaining step, and jnp.minimum-chain autodiff halves the
     # cotangent at each tied node — the reverse sweep below reproduces
     # that splitting exactly.
-    def fwd_body(i, carry):
+    def fwd_step(i, carry):
         x, y, z = carry[:3]
         hist_ref[i, 0] = x
         hist_ref[i, 1] = y
         hist_ref[i, 2] = z
         d = sdf_c(params, x, y, z)
+        live = live_mask(d)
         out = (
-            jnp.where(valid, x + d * dx, x),
-            jnp.where(valid, y + d * dy, y),
-            jnp.where(valid, z + d * dz, z),
+            jnp.where(live, x + d * dx, x),
+            jnp.where(live, y + d * dy, y),
+            jnp.where(live, z + d * dz, z),
         )
         if track_min:
             minf, amin = carry[3], carry[4]
@@ -118,18 +127,41 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
                 jnp.where(take, d, minf),
                 jnp.where(take, lax.convert_element_type(i, jnp.int32), amin),
             )
-        return out
+        return out, jnp.any(live)
 
     # NOTE: loops stay rolled here — statically unrolling the recompute and
     # especially the 32 traced-VJP reverse steps blows Mosaic compile time
     # past 8 minutes (measured round 1) for a ~10% runtime win at best.
+    #
+    # With tau > 0 (and no coverage plane) both sweeps stop at the tile's
+    # exit step: once every ray is frozen the remaining forward steps are
+    # identity maps with identity VJPs, so skipping them is exact. The
+    # coverage path cannot skip — the frozen steps' repeated d == min_f
+    # evaluations each receive a halved share of the min_f cotangent.
+    can_exit = tau != 0.0 and not track_min
     init = (x, y, z)
     if track_min:
         init = init + (
             jnp.full_like(x, jnp.finfo(x.dtype).max),
             jnp.full(x.shape, -1, jnp.int32),
         )
-    carry = lax.fori_loop(0, steps, fwd_body, init)
+    if can_exit:
+
+        def fwd_cond(carry):
+            return jnp.logical_and(carry[0] < steps, carry[-1])
+
+        def fwd_body_w(carry):
+            out, any_live = fwd_step(carry[0], carry[1:-1])
+            return (carry[0] + 1,) + out + (any_live,)
+
+        carry = lax.while_loop(
+            fwd_cond, fwd_body_w, (jnp.int32(0),) + init + (jnp.bool_(True),)
+        )
+        n_active = carry[0]
+        carry = carry[1:-1]
+    else:
+        carry = lax.fori_loop(0, steps, lambda i, c: fwd_step(i, c)[0], init)
+        n_active = steps
     x, y, z = carry[:3]
     minf, amin = (carry[3], carry[4]) if track_min else (None, None)
 
@@ -168,16 +200,17 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     def step_fn(flat, x, y, z, vx, vy, vz):
         params = unravel(flat)
         d = sdf_c(params, x, y, z)
+        live = live_mask(d)
         out = (
-            jnp.where(valid, x + d * vx, x),
-            jnp.where(valid, y + d * vy, y),
-            jnp.where(valid, z + d * vz, z),
+            jnp.where(live, x + d * vx, x),
+            jnp.where(live, y + d * vy, y),
+            jnp.where(live, z + d * vz, z),
         )
         return out + (d,) if track_min else out
 
     def bwd_body(j, carry):
         gx, gy, gz, gtheta, gvx, gvy, gvz, c = carry
-        i = steps - 1 - j
+        i = n_active - 1 - j
         xi = hist_ref[i, 0]
         yi = hist_ref[i, 1]
         zi = hist_ref[i, 2]
@@ -201,7 +234,7 @@ def _bwd_kernel(sdf_c, unravel, steps, normals_eps, offsets, inverse,
         else gvz0
     )
     gx, gy, gz, gtheta, gvx, gvy, gvz, _ = lax.fori_loop(
-        0, steps, bwd_body, (gx, gy, gz, gtheta, gvz0, gvz0, gvz0, c0)
+        0, n_active, bwd_body, (gx, gy, gz, gtheta, gvz0, gvz0, gvz0, c0)
     )
 
     gx0_ref[:] = gx
@@ -328,14 +361,18 @@ def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
 
 
 def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
-                   normals_eps, interpret, track_min=False):
-    """Backward of fused_march_normals (tau == 0).
+                   normals_eps, interpret, track_min=False, tau=0.0):
+    """Backward of fused_march_normals.
 
     Args:
         g8: (8, rows, 128) cotangents for (x y z d nx ny nz lap) — or
             (9, rows, 128) with the coverage plane min_f appended when
             ``track_min`` (fused_march_normals_cov); its cotangent is
             routed to the arg-min march step inside the kernel.
+        tau: early-exit threshold; the forward recompute and the reverse
+            sweep apply the same per-step freeze mask as the forward march
+            (round 2 — tau > 0 previously fell back to the checkpointed-
+            scan recompute at ~2.2× the frame time).
 
     Returns:
         (flat_params_cot (P,), rays7_cot (7, rows, 128)).
@@ -358,6 +395,7 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
         and steps % k == 0
         and steps >= 2 * k
         and not track_min  # coverage routing needs the full history
+        and tau == 0.0  # the 2l experiment never grew a tau mask
     )
     if two_level:
         tile = min(BWD_ROWS_PER_TILE_2L, rows)
@@ -372,8 +410,8 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     else:
         tile = min(BWD_ROWS_PER_TILE, rows)
         kernel = functools.partial(
-            _bwd_kernel, sdf_c, unravel, steps, normals_eps, offsets, inverse,
-            track_min,
+            _bwd_kernel, sdf_c, unravel, steps, tau, normals_eps, offsets,
+            inverse, track_min,
         )
         scratch = [pltpu.VMEM((steps, 3, tile, LANES), dtype)]
     # Pad rows to a tile multiple: rays edge-replicated (zero rays would sit

@@ -300,18 +300,12 @@ def _fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
 
 def _bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
     flat_params, rays7 = residuals
-    if tau == 0.0:
-        from ray_marching_tpu.ops.pallas_backward import fused_backward
+    from ray_marching_tpu.ops.pallas_backward import fused_backward
 
-        return fused_backward(
-            sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
-            interpret,
-        )
-    _, vjp = jax.vjp(
-        functools.partial(_reference_fn, sdf_c, unravel, steps, tau, normals_eps),
-        flat_params, rays7,
+    return fused_backward(
+        sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
+        interpret, tau=tau,
     )
-    return vjp(g)
 
 
 fused_march_normals.defvjp(_fwd, _bwd)
@@ -327,21 +321,12 @@ def _fwd_cov(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
 
 def _bwd_cov(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
     flat_params, rays7 = residuals
-    if tau == 0.0:
-        from ray_marching_tpu.ops.pallas_backward import fused_backward
+    from ray_marching_tpu.ops.pallas_backward import fused_backward
 
-        return fused_backward(
-            sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
-            interpret, track_min=True,
-        )
-    _, vjp = jax.vjp(
-        functools.partial(
-            _reference_fn, sdf_c, unravel, steps, tau, normals_eps,
-            track_min=True,
-        ),
-        flat_params, rays7,
+    return fused_backward(
+        sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
+        interpret, track_min=True, tau=tau,
     )
-    return vjp(g)
 
 
 fused_march_normals_cov.defvjp(_fwd_cov, _bwd_cov)

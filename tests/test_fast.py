@@ -125,25 +125,37 @@ def test_pose_gradients_match_modular():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
 
 
-def test_tau_nonzero_uses_fallback_backward():
-    """Early-exit mode routes to the checkpointed-scan backward; gradients
-    stay finite and close to the tau=0 gradients for tiny tau."""
+def test_tau_nonzero_fused_backward_matches_modular():
+    """Early-exit mode (tau > 0) runs through the fused backward kernel
+    with the per-step freeze mask (round 2 — previously a checkpointed-
+    scan fallback); gradients must match the modular scan march at a tau
+    large enough that rays actually freeze."""
     cfg = RenderConfig(
         px_width=96, px_height=64,
         focal_length=PX * 64, sensor_width=PX * 96, sensor_height=PX * 64,
-        marching_steps=12, tau=1e-9,
+        marching_steps=16, tau=1e-3,
     )
     node = registry.make_scene("test_scene2")
+    r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
     f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
                      interpret=True)
     q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float64)
     q = q / jnp.linalg.norm(q)
     t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float64)
-    g = jax.grad(lambda p: jnp.sum(f.render(p, q, t, mode=0, degree=1) ** 2))(
-        f.init_params
-    )
-    flat = param_paths(g)
-    assert all(np.isfinite(np.asarray(v)).all() for v in flat.values())
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((1, 64, 96, 3)))
+
+    def loss(render_fn, params):
+        return jnp.sum(render_fn(params, q, t, mode=0, degree=1) * w)
+
+    g1 = param_paths(jax.grad(lambda p: loss(r.render, p))(r.init_params))
+    g2 = param_paths(jax.grad(lambda p: loss(f.render, p))(f.init_params))
+    assert set(g1) == set(g2)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-6, atol=1e-10,
+            err_msg=k,
+        )
 
 
 def test_implicit_backward_matches_modular_implicit():
@@ -348,20 +360,26 @@ def test_alpha_pose_gradients_match_modular():
                                    rtol=1e-7, atol=1e-12)
 
 
-def test_alpha_tau_fallback():
-    """tau > 0 routes the coverage backward through the checkpointed-scan
-    recompute; values match tau=0 for tiny tau and grads stay finite."""
-    r0, f0, q, t = make_alpha_pair(num_cameras=1, steps=12)
-    _, f_tau, _, _ = make_alpha_pair(num_cameras=1, steps=12, tau=1e-9)
-    _, a0 = f0.render_with_alpha(f0.init_params, q, t, mode=0, beta=0.1)
-    _, a1 = f_tau.render_with_alpha(f_tau.init_params, q, t, mode=0, beta=0.1)
-    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), rtol=1e-9)
-    g = jax.grad(
-        lambda p: jnp.mean(
-            f_tau.render_with_alpha(p, q, t, mode=0, beta=0.1)[1] ** 2
-        )
-    )(f_tau.init_params)
-    assert np.isfinite(np.asarray(g["halfsides"])).all()
+def test_alpha_tau_matches_modular():
+    """Coverage gradients at tau > 0 (fused backward with the freeze mask
+    + tie-splitting over the frozen steps' repeated min_f evaluations)
+    match the modular march_with_closest autodiff."""
+    r_tau, f_tau, q, t = make_alpha_pair(num_cameras=1, steps=16, tau=1e-3)
+    ia, aa = r_tau.render_with_alpha(r_tau.init_params, q, t, mode=0, beta=0.1)
+    ib, ab = f_tau.render_with_alpha(f_tau.init_params, q, t, mode=0, beta=0.1)
+    np.testing.assert_allclose(np.asarray(aa), np.asarray(ab),
+                               rtol=1e-9, atol=1e-12)
+
+    def loss(render_fn, p):
+        img, a = render_fn(p, q, t, mode=0, beta=0.1)
+        return jnp.mean(img ** 2) + jnp.mean(a ** 2)
+
+    g1 = jax.grad(lambda p: loss(r_tau.render_with_alpha, p))(r_tau.init_params)
+    g2 = jax.grad(lambda p: loss(f_tau.render_with_alpha, p))(f_tau.init_params)
+    np.testing.assert_allclose(
+        np.asarray(g1["halfsides"]), np.asarray(g2["halfsides"]),
+        rtol=1e-6, atol=1e-12,
+    )
 
 
 def test_alpha_reflection_bounces_rejected():
