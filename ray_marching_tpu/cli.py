@@ -242,6 +242,7 @@ def _read_png(path):
 
 def cmd_interactive(args):
     from ray_marching_tpu.viewer import (
+        KittySink,
         MultiSink,
         PNGSink,
         PynputInput,
@@ -263,6 +264,9 @@ def cmd_interactive(args):
     if args.display == "term":
         # Live ANSI half-block preview in the terminal + PNGs on disk.
         sink = MultiSink(TerminalSink(), sink)
+    elif args.display == "kitty":
+        # Pixel-perfect preview via the kitty graphics protocol.
+        sink = MultiSink(KittySink(), sink)
     camera, session, frames = run_viewer(
         renderer, source, sink, max_frames=args.frames,
         print_fps=args.display != "term",
@@ -343,8 +347,10 @@ def main(argv=None):
                    help="scripted orbit instead of mouse/keyboard")
     p.add_argument("--save-every", type=int, default=1)
     p.add_argument("-o", "--out", default="frames")
-    p.add_argument("--display", choices=["none", "term"], default="none",
-                   help="'term' = live ANSI half-block preview in-terminal")
+    p.add_argument("--display", choices=["none", "term", "kitty"],
+                   default="none",
+                   help="'term' = live ANSI half-block preview in-terminal; "
+                        "'kitty' = pixel-perfect kitty-graphics preview")
     p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("bench", help="run the rays/s benchmark")

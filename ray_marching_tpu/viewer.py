@@ -174,6 +174,58 @@ class TerminalSink:
         self.file.flush()
 
 
+class KittySink:
+    """Live pixel-perfect in-terminal preview via the kitty graphics
+    protocol (APC ``\\x1b_G…\\x1b\\\\`` escapes carrying base64 PNG).
+
+    Full-resolution frames in kitty/ghostty/wezterm-class terminals —
+    higher fidelity than :class:`TerminalSink`'s half-block cells, same
+    zero-dependency device→host→bytes display path (SURVEY.md §2.6; the
+    reference's GL window capability, torchwindow/window.py:146-174).
+    Each frame deletes the previous placement and re-transmits at the
+    saved cursor position; ``q=2`` suppresses terminal responses so the
+    loop never blocks on reads.
+    """
+
+    CHUNK = 4096
+
+    def __init__(self, file=None):
+        import sys
+
+        self.file = file or sys.stdout
+        self._first = True
+
+    def __call__(self, frame_idx, image, session):
+        import base64
+
+        import numpy as np
+
+        from ray_marching_tpu.io.image import encode_png
+
+        img = np.asarray(image)
+        if img.ndim == 4:
+            img = img[0]
+        payload = base64.standard_b64encode(encode_png(img))
+        out = []
+        if self._first:
+            out.append("\x1b[s")  # save cursor
+            self._first = False
+        else:
+            out.append("\x1b[u\x1b[s")  # restore (repaint in place)
+            out.append("\x1b_Ga=d,d=A,q=2\x1b\\")  # delete old placements
+        pos = 0
+        first_chunk = True
+        while pos < len(payload):
+            chunk = payload[pos:pos + self.CHUNK]
+            pos += self.CHUNK
+            more = 1 if pos < len(payload) else 0
+            ctrl = f"a=T,f=100,q=2,m={more}" if first_chunk else f"m={more}"
+            first_chunk = False
+            out.append(f"\x1b_G{ctrl};{chunk.decode('ascii')}\x1b\\")
+        self.file.write("".join(out))
+        self.file.flush()
+
+
 class MultiSink:
     """Fan a frame out to several sinks (e.g. terminal preview + PNGs)."""
 

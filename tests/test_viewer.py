@@ -176,3 +176,42 @@ def test_pynput_input_with_stubbed_backend(monkeypatch):
     captured["on_press"](types.SimpleNamespace(char="q"))
     assert src.poll().quit
     src.close()
+
+
+def test_kitty_sink_emits_valid_graphics_protocol():
+    """KittySink: APC-framed base64 PNG chunks, repaint-in-place escapes,
+    NaN-safe (encode_png maps NaN to black)."""
+    import base64
+    import io
+    import re
+
+    import numpy as np
+
+    from ray_marching_tpu.viewer import KittySink
+
+    buf = io.StringIO()
+    sink = KittySink(file=buf)
+    img = np.random.default_rng(0).random((1, 8, 16, 3))
+    img[0, 0, 0] = np.nan
+    sink(0, img, None)
+    sink(1, img, None)
+    out = buf.getvalue()
+    # Frame 2 deletes the previous placement and restores the cursor.
+    assert "\x1b[s" in out and "\x1b[u" in out
+    assert "\x1b_Ga=d,d=A,q=2\x1b\\" in out
+    # Reassemble the first frame's chunked payload → valid PNG.
+    apcs = re.findall(r"\x1b_G([^;\x1b]*);([^\x1b]*)\x1b\\\\?", out)
+    payload, collecting = "", False
+    for ctrl, data in apcs:
+        if ctrl.startswith("a=T"):
+            payload, collecting = data, True
+            if "m=1" not in ctrl:
+                break
+        elif collecting:
+            payload += data
+            if "m=1" not in ctrl:
+                break
+    png = base64.standard_b64decode(payload)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # Every transmission chunk stays within the 4096-byte protocol limit.
+    assert all(len(d) <= 4096 for _, d in apcs)
