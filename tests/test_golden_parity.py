@@ -73,11 +73,14 @@ def test_image_parity(fixture, mode):
     )
     want = g[f"image_{mode}"]
     mask = np.broadcast_to(g["stable_mask"], want.shape)
+    # f32-stored fixtures (1024²; size-bounded) cap the comparison at the
+    # storage round-off; the underlying math is f64 on both sides.
+    rtol, atol = (1e-6, 1e-8) if want.dtype == np.float32 else (1e-9, 1e-11)
     np.testing.assert_allclose(
         image[mask],
         want[mask],
-        rtol=1e-9,
-        atol=1e-11,
+        rtol=rtol,
+        atol=atol,
         equal_nan=True,
         err_msg=f"{name} mode={mode}",
     )

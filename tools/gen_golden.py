@@ -226,6 +226,30 @@ CONFIGS = [
         image_modes=ALL_MODES,
         grad_modes=(0, 1, 4, 7),
     ),
+    # BASELINE config 3 at SPEC resolution: 1024², all 8 shaders, one
+    # bounce. Images (and the random loss weights) are stored float32 to
+    # bound fixture size — the math still runs in f64 on both sides, the
+    # f32 round-trip only caps image comparison at ~1e-7 relative (the
+    # parity test keys its tolerance off the stored dtype). The weights
+    # are rounded through f32 *before* the torch backward so both
+    # frameworks consume bit-identical cotangents. Grad modes restricted
+    # to the geometry + cmap-gather classes (the full grad matrix is
+    # pinned at 512² above).
+    dict(
+        name="scene2_bounce_1024",
+        scene="test_scene2",
+        width=1024,
+        height=1024,
+        steps=32,
+        normals_eps=5e-2,
+        reflection_bounces=1,
+        orientation=_unit((0.99, 0.03, -0.05, 0.02)),
+        translation=(0.1, 0.2, 2.0),
+        degree=2,
+        image_modes=ALL_MODES,
+        grad_modes=(0, 7),
+        store_f32=True,
+    ),
 ]
 
 
@@ -306,7 +330,11 @@ def render_reference(cfg):
     out["stable_mask"] = mask
     # Gradients flow only through stable pixels: the loss is masked on both
     # sides, so chaotic (diverged / unconverged) rays carry no cotangent.
-    loss_weights = torch.from_numpy(rng.standard_normal((1, h, w, 3)) * mask)
+    weights_np = rng.standard_normal((1, h, w, 3)) * mask
+    if cfg.get("store_f32"):
+        # Round through f32 BEFORE use: stored f32 == values consumed here.
+        weights_np = weights_np.astype(np.float32).astype(np.float64)
+    loss_weights = torch.from_numpy(weights_np)
     for mode in range(8):
         want_image = mode in cfg["image_modes"]
         want_grads = mode in cfg["grad_modes"]
@@ -360,6 +388,10 @@ def main():
         print(f"generating {cfg['name']} ...", flush=True)
         with torch.autograd.set_detect_anomaly(False):
             data = render_reference(cfg)
+        if cfg.get("store_f32"):
+            for key, val in data.items():
+                if key.startswith("image_") or key == "loss_weights":
+                    data[key] = val.astype(np.float32)
         path = OUT_DIR / f"{cfg['name']}.npz"
         np.savez_compressed(path, **data)
         print(f"  wrote {path} ({path.stat().st_size / 1e6:.2f} MB)")
