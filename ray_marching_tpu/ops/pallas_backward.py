@@ -4,8 +4,10 @@ The generic backward (checkpointed-scan recompute) streams 32 steps of ray
 positions through HBM twice. This kernel keeps the ENTIRE reverse sweep in
 VMEM per ray tile:
 
-  1. recompute the forward march, storing every intermediate position in a
-     VMEM scratch history (steps × 3 × TILE × 128 — ~3 MB at TILE=64);
+  1. obtain the march position history — either handed over from the
+     differentiated forward kernel (``hist`` arg; tau == 0) or recomputed
+     in-kernel into a VMEM scratch (steps × 3 × TILE × 128 — ~6 MB at
+     TILE=128);
   2. fold the tail cotangents (terminal distance, normals, Laplacian) into
      the endpoint cotangent with one ``jax.vjp`` of the tail block;
   3. run the reverse-mode sweep step-by-step from the history, accumulating
@@ -17,8 +19,10 @@ trace time, so the transposed ops are ordinary elementwise VPU ops like the
 primal ones. Parameter cotangents exit as one (num_tiles, P) array summed
 by the caller.
 
-Exact mode only (tau == 0); the early-exit variant falls back to the
-checkpointed-scan backward in :mod:`ray_marching_tpu.ops.pallas_render`.
+tau > 0 (early exit) applies the forward's per-step freeze mask in the
+recompute and the reverse sweep, and — without a coverage plane — both
+sweeps stop at the tile's exit step (frozen-tail steps are identity maps
+with identity VJPs, so the skip is exact).
 """
 
 from __future__ import annotations
@@ -79,12 +83,25 @@ MAX_UNROLL_STEPS = 64
 
 
 def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
-                track_min,
+                track_min, use_hist,
                 params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
-                valid_ref, g_ref,
-                gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
-                gtheta_ref, hist_ref):
+                valid_ref, g_ref, *refs):
     from ray_marching_tpu.ops.pallas_render import _normals_block
+
+    if use_hist:
+        # History logged by the forward kernel (pallas_render._march_tile):
+        # pre-step positions 0..steps-1 plus the terminal position at
+        # [steps] — the whole forward recompute below is skipped. With
+        # track_min the forward also hands over min_f and its arg-min step.
+        refs = list(refs)
+        hist_ref = refs.pop(0)
+        minf_in_ref = refs.pop(0) if track_min else None
+        amin_in_ref = refs.pop(0) if track_min else None
+        (gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
+         gtheta_ref) = refs
+    else:
+        (gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
+         gtheta_ref, hist_ref) = refs
 
     flat = params_ref[0, :]
     params = unravel(flat)
@@ -145,7 +162,18 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
             jnp.full_like(x, jnp.finfo(x.dtype).max),
             jnp.full(x.shape, -1, jnp.int32),
         )
-    if can_exit:
+    if use_hist:
+        # Terminal position straight from the logged history; trajectories
+        # are bitwise identical to what the recompute would produce (same
+        # elementwise op sequence in the forward kernel).
+        x = hist_ref[steps, 0]
+        y = hist_ref[steps, 1]
+        z = hist_ref[steps, 2]
+        carry = (x, y, z)
+        if track_min:
+            carry = carry + (minf_in_ref[:], amin_in_ref[:])
+        n_active = steps
+    elif can_exit:
 
         def fwd_cond(carry):
             return jnp.logical_and(carry[0] < steps, carry[-1])
@@ -361,7 +389,8 @@ def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
 
 
 def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
-                   normals_eps, interpret, track_min=False, tau=0.0):
+                   normals_eps, interpret, track_min=False, tau=0.0,
+                   hist=None, minf=None, amin=None):
     """Backward of fused_march_normals.
 
     Args:
@@ -373,6 +402,13 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
             sweep apply the same per-step freeze mask as the forward march
             (round 2 — tau > 0 previously fell back to the checkpointed-
             scan recompute at ~2.2× the frame time).
+        hist: optional (steps+1, 3, rows_padded, 128) march history logged
+            by the forward kernel (pallas_render._hist_enabled); when given
+            (tau == 0) the kernel skips its in-kernel forward recompute —
+            ``steps`` fewer SDF evaluations per ray, bitwise-identical
+            gradients. With ``track_min`` the handoff additionally needs
+            ``minf`` (the forward's masked min_f plane, (rows, 128)) and
+            ``amin`` (its arg-min step plane, int32, padded rows).
 
     Returns:
         (flat_params_cot (P,), rays7_cot (7, rows, 128)).
@@ -397,6 +433,12 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
         and not track_min  # coverage routing needs the full history
         and tau == 0.0  # the 2l experiment never grew a tau mask
     )
+    use_hist = (
+        hist is not None
+        and not two_level
+        and tau == 0.0
+        and (not track_min or (minf is not None and amin is not None))
+    )
     if two_level:
         tile = min(BWD_ROWS_PER_TILE_2L, rows)
         kernel = functools.partial(
@@ -409,11 +451,17 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
         ]
     else:
         tile = min(BWD_ROWS_PER_TILE, rows)
+        # The forward logged its history at the forward kernel's padded row
+        # count; only usable if it matches this kernel's padding.
+        if use_hist and hist.shape[2] != rows + (-rows % tile):
+            use_hist = False
         kernel = functools.partial(
             _bwd_kernel, sdf_c, unravel, steps, tau, normals_eps, offsets,
-            inverse, track_min,
+            inverse, track_min, use_hist,
         )
-        scratch = [pltpu.VMEM((steps, 3, tile, LANES), dtype)]
+        scratch = [] if use_hist else [
+            pltpu.VMEM((steps, 3, tile, LANES), dtype)
+        ]
     # Pad rows to a tile multiple: rays edge-replicated (zero rays would sit
     # at the world origin — a gradient singularity for scenes with a
     # primitive centred there), cotangents zero — so pad rows recompute a
@@ -434,11 +482,29 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     g_spec = pl.BlockSpec(
         (n_g, tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [params_spec] + [plane_spec] * 7 + [g_spec]
+    operands = [flat_params[None, :], *[rays7[i] for i in range(7)], g8]
+    if use_hist:
+        in_specs.append(
+            pl.BlockSpec(
+                (steps + 1, 3, tile, LANES),
+                lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(hist)
+        if track_min:
+            # minf arrives caller-shaped (rows,) planes; amin (like hist)
+            # is already at the forward kernel's padded row count.
+            if pad:
+                minf = jnp.pad(minf, ((0, pad), (0, 0)), mode="edge")
+            in_specs += [plane_spec, plane_spec]
+            operands += [minf, amin]
     plane_out = jax.ShapeDtypeStruct((rows + pad, LANES), dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[params_spec] + [plane_spec] * 7 + [g_spec],
+        in_specs=in_specs,
         out_specs=[plane_spec] * 6
         + [pl.BlockSpec((gr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_shape=[plane_out] * 6
@@ -450,7 +516,7 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
             if (BWD_VMEM_LIMIT_BYTES is None or interpret)
             else pltpu.CompilerParams(vmem_limit_bytes=BWD_VMEM_LIMIT_BYTES)
         ),
-    )(flat_params[None, :], *[rays7[i] for i in range(7)], g8)
+    )(*operands)
     gx, gy, gz, gvx, gvy, gvz, gtheta_tiles = outs
     if pad:
         gx, gy, gz, gvx, gvy, gvz = (

@@ -65,35 +65,62 @@ def _normals_block(sdf_c, params, x, y, z, d_centre, offsets, inverse, eps):
 
 
 def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
-                track_min=False):
+                track_min=False, hist_ref=None):
     """The in-kernel sphere-trace loop over one VMEM tile.
 
     With ``track_min`` also returns the along-ray closest approach
     ``min_i f(p_i)`` (same semantics as
     :func:`ray_marching_tpu.render.march.march_with_closest`: the min spans
-    the ``steps`` pre-step evaluations, not the terminal one)."""
+    the ``steps`` pre-step evaluations, not the terminal one).
+
+    With ``hist_ref`` (a (steps+1, 3, tile, 128) output ref; tau == 0 only)
+    every pre-step position plus the terminal position is logged — the
+    fused backward kernel then skips its in-kernel forward recompute and
+    reads this history instead (bitwise-identical trajectories, the same
+    elementwise op sequence either way).
+
+    track_min at tau == 0 also tracks the FIRST step attaining the min
+    (strict-inequality updates, the fused backward's tie convention) and
+    returns it as a fifth int32 plane, so the backward's min_f cotangent
+    routing can run straight off the handed-over history."""
     minf = jnp.full_like(x, jnp.finfo(x.dtype).max)
 
     if tau == 0.0:
+        amin = jnp.full(x.shape, -1, jnp.int32) if track_min else None
 
-        def body(_, carry):
-            x, y, z, minf = carry
+        def body(i, carry):
+            x, y, z, minf, amin = carry
+            if hist_ref is not None:
+                hist_ref[i, 0] = x
+                hist_ref[i, 1] = y
+                hist_ref[i, 2] = z
             d = sdf_c(params, x, y, z)
             if track_min:
-                minf = jnp.minimum(minf, d)
+                take = d < minf
+                amin = jnp.where(take, jnp.asarray(i, jnp.int32), amin)
+                minf = jnp.where(take, d, minf)
             return (
                 jnp.where(valid, x + d * dx, x),
                 jnp.where(valid, y + d * dy, y),
                 jnp.where(valid, z + d * dz, z),
                 minf,
+                amin,
             )
 
         if steps <= MAX_UNROLL_STEPS:
             # Static unroll lets Mosaic software-pipeline across steps.
-            for _ in range(steps):
-                x, y, z, minf = body(None, (x, y, z, minf))
+            for i in range(steps):
+                x, y, z, minf, amin = body(i, (x, y, z, minf, amin))
         else:
-            x, y, z, minf = lax.fori_loop(0, steps, body, (x, y, z, minf))
+            x, y, z, minf, amin = lax.fori_loop(
+                0, steps, body, (x, y, z, minf, amin)
+            )
+        if hist_ref is not None:
+            hist_ref[steps, 0] = x
+            hist_ref[steps, 1] = y
+            hist_ref[steps, 2] = z
+        if track_min:
+            return x, y, z, minf, amin
     else:
         # Early-exit march with a SEGMENT-granularity check: each
         # while_loop iteration runs EXIT_SEG statically-unrolled masked
@@ -135,33 +162,39 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
         for _ in range(tail):
             x, y, z, minf, _ = masked_step(x, y, z, minf)
 
-    if track_min:
-        return x, y, z, minf
+    if track_min:  # tau > 0: no amin (dynamic-length march, no handoff)
+        return x, y, z, minf, None
     return x, y, z
 
 
 def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
-                   track_min,
+                   track_min, log_hist,
                    params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
                    valid_ref,
                    ox_ref, oy_ref, oz_ref, od_ref,
-                   nx_ref, ny_ref, nz_ref, lap_ref, *maybe_minf_ref):
+                   nx_ref, ny_ref, nz_ref, lap_ref, *extra_refs):
     params = unravel(params_ref[0, :])
     x, y, z = px_ref[:], py_ref[:], pz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     valid = valid_ref[:] > 0.5
+    extra = list(extra_refs)
+    minf_ref = extra.pop(0) if track_min else None
+    amin_ref = extra.pop(0) if (track_min and log_hist) else None
+    hist_ref = extra.pop(0) if log_hist else None
 
     marched = _march_tile(
         sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
-        track_min=track_min,
+        track_min=track_min, hist_ref=hist_ref,
     )
     if track_min:
-        x, y, z, minf = marched
+        x, y, z, minf, amin = marched
         # Invalid (pad) slots never march; park their min at +big so the
         # coverage sigmoid reads a clear miss.
-        maybe_minf_ref[0][:] = jnp.where(
+        minf_ref[:] = jnp.where(
             valid, minf, jnp.full_like(minf, jnp.finfo(minf.dtype).max)
         )
+        if amin_ref is not None:
+            amin_ref[:] = amin
     else:
         x, y, z = marched
 
@@ -181,7 +214,7 @@ def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
 
 
 def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
-                        normals_eps, interpret, track_min):
+                        normals_eps, interpret, track_min, log_hist=False):
     rows = rays7.shape[1]
     rows_per_tile = min(DEFAULT_ROWS_PER_TILE, rows)
     # Rows may not divide the tile (e.g. multi-camera stacks of 8-row-padded
@@ -199,7 +232,7 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
     kernel = functools.partial(
         _render_kernel, sdf_c, unravel, steps, tau, offsets, inverse,
-        normals_eps, track_min,
+        normals_eps, track_min, log_hist,
     )
     plane_spec = pl.BlockSpec(
         (rows_per_tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -209,16 +242,51 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
     )
     n_out = 9 if track_min else 8
     out_shape = jax.ShapeDtypeStruct((rows + pad, LANES), dtype)
+    out_specs = [plane_spec] * n_out
+    out_shapes = [out_shape] * n_out
+    if log_hist:
+        if track_min:
+            # arg-min step plane (min_f cotangent routing in the backward).
+            out_specs.append(plane_spec)
+            out_shapes.append(
+                jax.ShapeDtypeStruct((rows + pad, LANES), jnp.int32)
+            )
+        # March history (pre-step positions + the terminal position) handed
+        # to the fused backward so it can skip its forward recompute.
+        out_specs.append(
+            pl.BlockSpec(
+                (steps + 1, 3, rows_per_tile, LANES),
+                lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((steps + 1, 3, rows + pad, LANES), dtype)
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[params_spec] + [plane_spec] * 7,
-        out_specs=[plane_spec] * n_out,
-        out_shape=[out_shape] * n_out,
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=interpret,
+        # The double-buffered history block (2·(steps+1)·3 tile planes)
+        # busts the 16 MiB default scoped-VMEM budget at 32 steps.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
+            if (log_hist and not interpret)
+            else None
+        ),
     )(flat_params[None, :], *[rays7[i] for i in range(7)])
+    hist = amin = None
+    if log_hist:
+        if track_min:
+            outs, amin, hist = outs[:-2], outs[-2], outs[-1]
+        else:
+            outs, hist = outs[:-1], outs[-1]
     out = jnp.stack(outs, axis=0)
-    return out[:, :rows] if pad else out
+    out = out[:, :rows] if pad else out
+    return (out, hist, amin) if log_hist else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7))
@@ -290,21 +358,51 @@ def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7,
     return jnp.stack(planes, axis=0)
 
 
+def _hist_enabled(rays7, steps, tau):
+    """Whether the differentiated forward should log its march history for
+    the backward kernel (skips the backward's in-kernel forward recompute;
+    bitwise-identical gradients). Off for tau > 0 (the early-exit forward
+    has no fixed history length) and above a size cap (the history is
+    (steps+1)·3 HBM planes — 796 MB at 1080p/32 steps/f32)."""
+    import os
+
+    if tau != 0.0 or os.environ.get("RM_TPU_BWD_HIST", "1") != "1":
+        return False
+    # Default cap 4 GiB: admits 4K × 32 steps × f32 (3.3 GB — measured
+    # 46.6 → 38.4 ms fwd+bwd, the handoff still wins with the history in
+    # HBM) while keeping f64 / 64-step monsters on the recompute path.
+    cap = int(os.environ.get("RM_TPU_BWD_HIST_MAX", str(2**32)))
+    rows_per_tile = min(DEFAULT_ROWS_PER_TILE, rays7.shape[1])
+    rows_padded = rays7.shape[1] + (-rays7.shape[1] % rows_per_tile)
+    bytes_ = (steps + 1) * 3 * rows_padded * LANES * rays7.dtype.itemsize
+    return bytes_ <= cap
+
+
 def _fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
          interpret):
-    out = fused_march_normals(
-        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
-    )
-    return out, (flat_params, rays7)
+    if _hist_enabled(rays7, steps, tau):
+        out, hist, _ = _call_render_kernel(
+            sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+            interpret, False, log_hist=True,
+        )
+    else:
+        out, hist = (
+            fused_march_normals(
+                sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+                interpret,
+            ),
+            None,
+        )
+    return out, (flat_params, rays7, hist)
 
 
 def _bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
-    flat_params, rays7 = residuals
+    flat_params, rays7, hist = residuals
     from ray_marching_tpu.ops.pallas_backward import fused_backward
 
     return fused_backward(
         sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
-        interpret, tau=tau,
+        interpret, tau=tau, hist=hist,
     )
 
 
@@ -313,19 +411,31 @@ fused_march_normals.defvjp(_fwd, _bwd)
 
 def _fwd_cov(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
              interpret):
-    out = fused_march_normals_cov(
-        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
-    )
-    return out, (flat_params, rays7)
+    if _hist_enabled(rays7, steps, tau):
+        out, hist, amin = _call_render_kernel(
+            sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+            interpret, True, log_hist=True,
+        )
+    else:
+        out, hist, amin = (
+            fused_march_normals_cov(
+                sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+                interpret,
+            ),
+            None,
+            None,
+        )
+    minf = out[8] if hist is not None else None
+    return out, (flat_params, rays7, hist, amin, minf)
 
 
 def _bwd_cov(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
-    flat_params, rays7 = residuals
+    flat_params, rays7, hist, amin, minf = residuals
     from ray_marching_tpu.ops.pallas_backward import fused_backward
 
     return fused_backward(
         sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
-        interpret, track_min=True, tau=tau,
+        interpret, track_min=True, tau=tau, hist=hist, amin=amin, minf=minf,
     )
 
 

@@ -445,3 +445,68 @@ def test_multi_camera_matches_modular():
             assert (~close).mean() < 0.005, f"mode {mode}: {(~close).mean()}"
         else:
             assert close.all(), f"mode {mode}"
+
+
+@pytest.mark.parametrize("steps,w,h", [(12, 96, 64), (66, 192, 96)])
+def test_hist_handoff_backward_bitwise(monkeypatch, steps, w, h):
+    """The forward mega-kernel's logged march history lets the fused
+    backward skip its in-kernel forward recompute; the trajectories are the
+    same elementwise op sequence, so gradients must be BITWISE identical
+    with the handoff on and off. steps=66 exercises the fori_loop logging
+    path (> MAX_UNROLL_STEPS) and 192×96 the padded-tile path
+    (144 rows % 128-row tiles)."""
+    cfg = RenderConfig(
+        px_width=w, px_height=h,
+        focal_length=PX * h, sensor_width=PX * w, sensor_height=PX * h,
+        marching_steps=steps,
+    )
+    node = registry.make_scene("test_scene2")
+    f = FastRenderer(node, cfg, dtype=jnp.float32, interpret=True)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float32)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float32)
+    rng = np.random.default_rng(3)
+    wgt = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+
+    def loss(params):
+        return jnp.sum(f.render(params, q, t, mode=0, degree=2) * wgt)
+
+    monkeypatch.setenv("RM_TPU_BWD_HIST", "1")
+    g1 = param_paths(jax.grad(loss)(f.init_params))
+    monkeypatch.setenv("RM_TPU_BWD_HIST", "0")
+    g2 = param_paths(jax.grad(loss)(f.init_params))
+    assert set(g1) == set(g2)
+    for k in g1:
+        np.testing.assert_array_equal(
+            np.asarray(g1[k]), np.asarray(g2[k]), err_msg=k
+        )
+
+
+def test_hist_handoff_coverage_backward_bitwise(monkeypatch):
+    """Coverage (render_with_alpha) handoff: the forward kernel hands over
+    history + min_f + arg-min step; the backward's min_f cotangent routing
+    must be bitwise identical to the recompute path."""
+    cfg = RenderConfig(
+        px_width=192, px_height=96,
+        focal_length=PX * 96, sensor_width=PX * 192, sensor_height=PX * 96,
+        marching_steps=10,
+    )
+    f = FastRenderer(registry.make_scene("test_scene2"), cfg,
+                     dtype=jnp.float32, interpret=True)
+    q, t = f.default_pose()
+    rng = np.random.default_rng(7)
+    wt_img = jnp.asarray(rng.standard_normal((1, 96, 192, 3)), jnp.float32)
+    wt_a = jnp.asarray(rng.standard_normal((1, 96, 192, 1)), jnp.float32)
+
+    def loss(params):
+        img, alpha = f.render_with_alpha(params, q, t, mode=0, degree=2)
+        return jnp.sum(img * wt_img) + jnp.sum(alpha * wt_a)
+
+    monkeypatch.setenv("RM_TPU_BWD_HIST", "1")
+    g1 = param_paths(jax.grad(loss)(f.init_params))
+    monkeypatch.setenv("RM_TPU_BWD_HIST", "0")
+    g2 = param_paths(jax.grad(loss)(f.init_params))
+    for k in g1:
+        np.testing.assert_array_equal(
+            np.asarray(g1[k]), np.asarray(g2[k]), err_msg=k
+        )
