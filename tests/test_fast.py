@@ -245,18 +245,23 @@ def test_multi_camera_rows_cross_tile_boundary():
 
 
 def test_neural_scene_fast_gradients():
-    """Neural scenes have >128 flat parameters (the default (16,16) MLP is
-    354): the fused backward's per-tile parameter cotangent must spill
-    across multiple 128-lane rows (round 1 raised on jnp.pad with negative
-    width). Pin against the modular renderer's gradients."""
+    """Neural scenes have >128 flat parameters: the fused backward's
+    per-tile parameter cotangent must spill across multiple 128-lane rows
+    (round 1 raised on jnp.pad with negative width). Pin against the
+    modular renderer's gradients. A bare (12,12) MLP (218 params) at 16²/4
+    steps exercises the same spill as the full neural_demo scene at ~1/10
+    the interpret-mode tracing cost (neural_demo itself renders through
+    the fused kernel in tests/test_neural.py)."""
     from jax.flatten_util import ravel_pytree
 
+    from ray_marching_tpu.scene.neural import NeuralSDF
+
     cfg = RenderConfig(
-        px_width=32, px_height=24,
-        focal_length=PX * 24, sensor_width=PX * 32, sensor_height=PX * 24,
-        marching_steps=8,
+        px_width=16, px_height=16,
+        focal_length=PX * 16, sensor_width=PX * 16, sensor_height=PX * 16,
+        marching_steps=4,
     )
-    node = registry.make_scene("neural_demo")
+    node = NeuralSDF(hidden=(12, 12), seed=7, scale=0.6, w0=6.0)
     r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
     f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
                      interpret=True)
@@ -265,7 +270,7 @@ def test_neural_scene_fast_gradients():
     q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]], jnp.float64)
     t = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float64)
     rng = np.random.default_rng(0)
-    w = jnp.asarray(rng.standard_normal((1, 24, 32, 3)))
+    w = jnp.asarray(rng.standard_normal((1, 16, 16, 3)))
 
     def loss(render_fn, params):
         return jnp.sum(render_fn(params, q, t, mode=0, degree=1) * w)
