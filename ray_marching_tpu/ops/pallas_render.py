@@ -65,7 +65,7 @@ def _normals_block(sdf_c, params, x, y, z, d_centre, offsets, inverse, eps):
 
 
 def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
-                track_min=False, hist_ref=None):
+                track_min=False, hist_ref=None, track_argpos=False):
     """The in-kernel sphere-trace loop over one VMEM tile.
 
     With ``track_min`` also returns the along-ray closest approach
@@ -82,14 +82,17 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
     track_min at tau == 0 also tracks the FIRST step attaining the min
     (strict-inequality updates, the fused backward's tie convention) and
     returns it as a fifth int32 plane, so the backward's min_f cotangent
-    routing can run straight off the handed-over history."""
+    routing can run straight off the handed-over history. ``track_argpos``
+    additionally tracks the POSITION at that step (the argmin-frozen IFT
+    coverage backward needs it; see fused_march_normals_cov_ift)."""
     minf = jnp.full_like(x, jnp.finfo(x.dtype).max)
+    argpos = (x, y, z) if (track_min and track_argpos) else None
 
     if tau == 0.0:
         amin = jnp.full(x.shape, -1, jnp.int32) if track_min else None
 
         def body(i, carry):
-            x, y, z, minf, amin = carry
+            x, y, z, minf, amin, argpos = carry
             if hist_ref is not None:
                 hist_ref[i, 0] = x
                 hist_ref[i, 1] = y
@@ -97,6 +100,10 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
             d = sdf_c(params, x, y, z)
             if track_min:
                 take = d < minf
+                if argpos is not None:
+                    argpos = tuple(
+                        jnp.where(take, c, a) for c, a in zip((x, y, z), argpos)
+                    )
                 amin = jnp.where(take, jnp.asarray(i, jnp.int32), amin)
                 minf = jnp.where(take, d, minf)
             return (
@@ -105,22 +112,23 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
                 jnp.where(valid, z + d * dz, z),
                 minf,
                 amin,
+                argpos,
             )
 
+        carry = (x, y, z, minf, amin, argpos)
         if steps <= MAX_UNROLL_STEPS:
             # Static unroll lets Mosaic software-pipeline across steps.
             for i in range(steps):
-                x, y, z, minf, amin = body(i, (x, y, z, minf, amin))
+                carry = body(i, carry)
         else:
-            x, y, z, minf, amin = lax.fori_loop(
-                0, steps, body, (x, y, z, minf, amin)
-            )
+            carry = lax.fori_loop(0, steps, body, carry)
+        x, y, z, minf, amin, argpos = carry
         if hist_ref is not None:
             hist_ref[steps, 0] = x
             hist_ref[steps, 1] = y
             hist_ref[steps, 2] = z
         if track_min:
-            return x, y, z, minf, amin
+            return x, y, z, minf, amin, argpos
     else:
         # Early-exit march with a SEGMENT-granularity check: each
         # while_loop iteration runs EXIT_SEG statically-unrolled masked
@@ -131,44 +139,52 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
         # loop check 1/EXIT_SEG as often. Frozen rays re-evaluate an
         # unchanged position, so neither the per-step mask, the early
         # exit, nor the always-run masked tail changes any result.
-        def masked_step(x, y, z, minf):
+        def masked_step(x, y, z, minf, argpos):
             d = sdf_c(params, x, y, z)
             if track_min:
-                minf = jnp.minimum(minf, d)
+                if argpos is not None:
+                    take = d < minf
+                    argpos = tuple(
+                        jnp.where(take, c, a) for c, a in zip((x, y, z), argpos)
+                    )
+                    minf = jnp.where(take, d, minf)
+                else:
+                    minf = jnp.minimum(minf, d)
             live = jnp.logical_and(jnp.abs(d) >= tau, valid)
             return (
                 jnp.where(live, x + d * dx, x),
                 jnp.where(live, y + d * dy, y),
                 jnp.where(live, z + d * dz, z),
                 minf,
+                argpos,
                 live,
             )
 
         n_seg, tail = divmod(steps, EXIT_SEG)
 
         def cond(carry):
-            s, _, _, _, _, any_live = carry
+            s, _, _, _, _, _, any_live = carry
             return jnp.logical_and(s < n_seg, any_live)
 
         def body(carry):
-            s, x, y, z, minf, _ = carry
+            s, x, y, z, minf, argpos, _ = carry
             for _ in range(EXIT_SEG):
-                x, y, z, minf, live = masked_step(x, y, z, minf)
-            return (s + 1, x, y, z, minf, jnp.any(live))
+                x, y, z, minf, argpos, live = masked_step(x, y, z, minf, argpos)
+            return (s + 1, x, y, z, minf, argpos, jnp.any(live))
 
-        _, x, y, z, minf, _ = lax.while_loop(
-            cond, body, (jnp.int32(0), x, y, z, minf, jnp.bool_(True))
+        _, x, y, z, minf, argpos, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), x, y, z, minf, argpos, jnp.bool_(True))
         )
         for _ in range(tail):
-            x, y, z, minf, _ = masked_step(x, y, z, minf)
+            x, y, z, minf, argpos, _ = masked_step(x, y, z, minf, argpos)
 
     if track_min:  # tau > 0: no amin (dynamic-length march, no handoff)
-        return x, y, z, minf, None
+        return x, y, z, minf, None, argpos
     return x, y, z
 
 
 def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
-                   track_min, log_hist,
+                   track_min, log_hist, track_argpos,
                    params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
                    valid_ref,
                    ox_ref, oy_ref, oz_ref, od_ref,
@@ -180,14 +196,18 @@ def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
     extra = list(extra_refs)
     minf_ref = extra.pop(0) if track_min else None
     amin_ref = extra.pop(0) if (track_min and log_hist) else None
+    argpos_refs = (
+        [extra.pop(0) for _ in range(3)] if (track_min and track_argpos)
+        else None
+    )
     hist_ref = extra.pop(0) if log_hist else None
 
     marched = _march_tile(
         sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
-        track_min=track_min, hist_ref=hist_ref,
+        track_min=track_min, hist_ref=hist_ref, track_argpos=track_argpos,
     )
     if track_min:
-        x, y, z, minf, amin = marched
+        x, y, z, minf, amin, argpos = marched
         # Invalid (pad) slots never march; park their min at +big so the
         # coverage sigmoid reads a clear miss.
         minf_ref[:] = jnp.where(
@@ -195,6 +215,9 @@ def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
         )
         if amin_ref is not None:
             amin_ref[:] = amin
+        if argpos_refs is not None:
+            for ref, plane in zip(argpos_refs, argpos):
+                ref[:] = plane
     else:
         x, y, z = marched
 
@@ -214,7 +237,8 @@ def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
 
 
 def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
-                        normals_eps, interpret, track_min, log_hist=False):
+                        normals_eps, interpret, track_min, log_hist=False,
+                        track_argpos=False):
     rows = rays7.shape[1]
     rows_per_tile = min(DEFAULT_ROWS_PER_TILE, rows)
     # Rows may not divide the tile (e.g. multi-camera stacks of 8-row-padded
@@ -232,7 +256,7 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
     kernel = functools.partial(
         _render_kernel, sdf_c, unravel, steps, tau, offsets, inverse,
-        normals_eps, track_min, log_hist,
+        normals_eps, track_min, log_hist, track_argpos,
     )
     plane_spec = pl.BlockSpec(
         (rows_per_tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -244,13 +268,17 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
     out_shape = jax.ShapeDtypeStruct((rows + pad, LANES), dtype)
     out_specs = [plane_spec] * n_out
     out_shapes = [out_shape] * n_out
+    if log_hist and track_min:
+        # arg-min step plane (min_f cotangent routing in the backward).
+        out_specs.append(plane_spec)
+        out_shapes.append(
+            jax.ShapeDtypeStruct((rows + pad, LANES), jnp.int32)
+        )
+    if track_argpos and track_min:
+        # arg-min POSITION planes (argmin-frozen IFT coverage backward).
+        out_specs += [plane_spec] * 3
+        out_shapes += [out_shape] * 3
     if log_hist:
-        if track_min:
-            # arg-min step plane (min_f cotangent routing in the backward).
-            out_specs.append(plane_spec)
-            out_shapes.append(
-                jax.ShapeDtypeStruct((rows + pad, LANES), jnp.int32)
-            )
         # March history (pre-step positions + the terminal position) handed
         # to the fused backward so it can skip its forward recompute.
         out_specs.append(
@@ -278,15 +306,21 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
             else None
         ),
     )(flat_params[None, :], *[rays7[i] for i in range(7)])
-    hist = amin = None
+    hist = amin = argpos = None
+    outs = list(outs)
     if log_hist:
-        if track_min:
-            outs, amin, hist = outs[:-2], outs[-2], outs[-1]
-        else:
-            outs, hist = outs[:-1], outs[-1]
+        hist = outs.pop()
+    if track_argpos and track_min:
+        planes = [outs.pop() for _ in range(3)][::-1]
+        argpos = jnp.stack(planes, axis=0)
+        argpos = argpos[:, :rows] if pad else argpos
+    if log_hist and track_min:
+        amin = outs.pop()
     out = jnp.stack(outs, axis=0)
     out = out[:, :rows] if pad else out
-    return (out, hist, amin) if log_hist else out
+    if log_hist or track_argpos:
+        return out, hist, amin, argpos
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7))
@@ -381,7 +415,7 @@ def _hist_enabled(rays7, steps, tau):
 def _fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
          interpret):
     if _hist_enabled(rays7, steps, tau):
-        out, hist, _ = _call_render_kernel(
+        out, hist, _, _ = _call_render_kernel(
             sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
             interpret, False, log_hist=True,
         )
@@ -412,7 +446,7 @@ fused_march_normals.defvjp(_fwd, _bwd)
 def _fwd_cov(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
              interpret):
     if _hist_enabled(rays7, steps, tau):
-        out, hist, amin = _call_render_kernel(
+        out, hist, amin, _ = _call_render_kernel(
             sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
             interpret, True, log_hist=True,
         )
@@ -535,3 +569,59 @@ def _ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret,
 
 
 fused_march_normals_ift.defvjp(_ift_fwd, _ift_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7, 8, 9))
+def fused_march_normals_cov_ift(sdf_c, unravel, flat_params, rays7, steps,
+                                tau, normals_eps, interpret,
+                                hit_threshold=0.05, denom_eps=1e-6):
+    """Coverage variant with O(1) backward: IFT endpoint gradients for the
+    8 render planes plus **argmin-frozen** min_f gradients —
+    ``∂min_f/∂θ ≈ f_θ(θ, p_m)`` with the argmin position ``p_m`` (an extra
+    kernel output) treated as constant. The fused counterpart of
+    :func:`ray_marching_tpu.render.implicit.march_with_closest_implicit`;
+    the exact path (:func:`fused_march_normals_cov`) remains the default."""
+    return fused_march_normals_cov(
+        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
+    )
+
+
+def _cov_ift_fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+                 interpret, hit_threshold, denom_eps):
+    out, _, _, argpos = _call_render_kernel(
+        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+        interpret, True, track_argpos=True,
+    )
+    return out, (flat_params, rays7, out, argpos)
+
+
+def _cov_ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret,
+                 hit_threshold, denom_eps, residuals, g):
+    flat_params, rays7, out, argpos = residuals
+    # Endpoint planes: identical routing to _ift_bwd (it reads g[0..7]).
+    gtheta, rays7_cot = _ift_bwd(
+        sdf_c, unravel, steps, tau, normals_eps, interpret, hit_threshold,
+        denom_eps, (flat_params, rays7, out), g,
+    )
+    # min_f, argmin frozen: one joint VJP of f at p_m; the position route
+    # p_m = p0 + t_m·v (t_m frozen) carries the cotangent to the ray.
+    valid = rays7[6] > 0.5
+    gminf = jnp.where(valid, g[8], jnp.zeros_like(g[8]))
+    xm, ym, zm = argpos[0], argpos[1], argpos[2]
+
+    def f_only(flat, x, y, z):
+        return sdf_c(unravel(flat), x, y, z)
+
+    _, f_vjp = jax.vjp(f_only, flat_params, xm, ym, zm)
+    dtheta, gmx, gmy, gmz = f_vjp(gminf)
+    px, py, pz, vx, vy, vz = (rays7[i] for i in range(6))
+    t_m = (xm - px) * vx + (ym - py) * vy + (zm - pz) * vz
+    add = jnp.stack(
+        [gmx, gmy, gmz, t_m * gmx, t_m * gmy, t_m * gmz,
+         jnp.zeros_like(gmx)],
+        axis=0,
+    )
+    return gtheta + dtheta, rays7_cot + add
+
+
+fused_march_normals_cov_ift.defvjp(_cov_ift_fwd, _cov_ift_bwd)

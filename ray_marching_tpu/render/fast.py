@@ -33,6 +33,7 @@ from ray_marching_tpu.camera import CameraConfig, _pixel_center_grid
 from ray_marching_tpu.ops.pallas_render import (
     fused_march_normals,
     fused_march_normals_cov,
+    fused_march_normals_cov_ift,
     fused_march_normals_ift,
 )
 from ray_marching_tpu.render import shaders
@@ -273,11 +274,16 @@ class FastRenderer:
         cfg = self.config
         valid = self._valid if valid is None else valid
         flat_params, unravel = ravel_params_padded(params, self.dtype)
-        if with_closest:
-            # Coverage semantics match the modular render_with_alpha:
-            # always the exact (unrolled) backward, never IFT (min_f is an
-            # arg-min over the whole trajectory; the fixed-point shortcut
-            # does not apply to it).
+        if with_closest and cfg.backward == "implicit":
+            # IFT endpoint + argmin-frozen min_f (O(1) backward, same
+            # approximation as the modular march_with_closest_implicit).
+            def march(*args):
+                return fused_march_normals_cov_ift(
+                    *args, cfg.ift_hit_threshold, cfg.ift_denom_eps
+                )
+        elif with_closest:
+            # Exact coverage semantics (modular render_with_alpha parity):
+            # autodiff of the minimum chain via the fused backward kernel.
             march = fused_march_normals_cov
         elif cfg.backward == "implicit":
             # custom_vjp takes positional args only.

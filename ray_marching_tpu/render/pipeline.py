@@ -178,10 +178,23 @@ class Renderer:
         pixel_pos, pixel_frames, ray_pos, ray_dirs = self.camera.pose(
             orientation, translation
         )
-        surface_coords, min_f = march_mod.march_with_closest(
-            self.sdf_vec, params, ray_pos, ray_dirs, steps,
-            tau=cfg.tau, remat=cfg.remat,
-        )
+        if cfg.backward == "implicit":
+            # IFT endpoint + argmin-frozen min_f: O(1) backward (see
+            # render/implicit.py). Exact autodiff through the scan is the
+            # default.
+            from ray_marching_tpu.render.implicit import (
+                march_with_closest_implicit,
+            )
+
+            surface_coords, min_f = march_with_closest_implicit(
+                self.sdf_vec, params, ray_pos, ray_dirs, steps, cfg.tau,
+                cfg.ift_hit_threshold, cfg.ift_denom_eps,
+            )
+        else:
+            surface_coords, min_f = march_mod.march_with_closest(
+                self.sdf_vec, params, ray_pos, ray_dirs, steps,
+                tau=cfg.tau, remat=cfg.remat,
+            )
         surface_distances = self.sdf_vec(params, surface_coords)
         surface_normals, surface_laplacian = self.normals(
             self.sdf_vec, params, surface_coords

@@ -165,3 +165,49 @@ def test_ift_knobs_configurable_via_render_config():
             not np.allclose(np.asarray(g_default[k]), np.asarray(g_wide[k]))
             for k in g_default
         )
+
+
+def test_fast_implicit_coverage_matches_modular():
+    """The fused argmin-frozen coverage backward
+    (ops.pallas_render.fused_march_normals_cov_ift) is pinned to the
+    modular march_with_closest_implicit routing: same forward pixels/alpha,
+    same gradients."""
+    from ray_marching_tpu.render.fast import FastRenderer
+    from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+
+    px = 3.45e-6
+    cfg = RenderConfig(
+        px_width=64, px_height=48,
+        focal_length=px * 48, sensor_width=px * 64, sensor_height=px * 48,
+        marching_steps=12, backward="implicit",
+    )
+    node = registry.make_scene("test_scene2")
+    r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float64)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float64)
+    rng = np.random.default_rng(5)
+    wi = jnp.asarray(rng.standard_normal((1, 48, 64, 3)))
+    wa = jnp.asarray(rng.standard_normal((1, 48, 64, 1)))
+
+    ia, aa = r.render_with_alpha(r.init_params, q, t, mode=0, degree=2)
+    ib, ab = f.render_with_alpha(f.init_params, q, t, mode=0, degree=2)
+    np.testing.assert_allclose(np.asarray(ia), np.asarray(ib),
+                               rtol=1e-9, atol=1e-11, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(aa), np.asarray(ab),
+                               rtol=1e-9, atol=1e-11)
+
+    def loss(render_fn, params):
+        img, alpha = render_fn(params, q, t, mode=0, degree=2)
+        return jnp.sum(img * wi) + jnp.sum(alpha * wa)
+
+    g1 = param_paths(jax.grad(lambda p: loss(r.render_with_alpha, p))(r.init_params))
+    g2 = param_paths(jax.grad(lambda p: loss(f.render_with_alpha, p))(f.init_params))
+    assert set(g1) == set(g2)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-6, atol=1e-10,
+            err_msg=k,
+        )

@@ -149,3 +149,58 @@ def test_min_f_gradient_smooth_across_silhouette(setup):
             return jnp.sum(m)
         gk = np.asarray(jax.grad(min_f_k)(r.init_params)["halfsides"])
         np.testing.assert_allclose(gk, g, rtol=1e-9)
+
+
+def test_implicit_coverage_gradient_matches_exact_on_miss(setup):
+    """The argmin-frozen min_f gradient (march_with_closest_implicit) drops
+    the trajectory dependence of WHERE the closest approach happens; on a
+    near-miss ray the retained term f_theta dominates (envelope argument),
+    so it must agree with the exact autodiff gradient to ~10%."""
+    from ray_marching_tpu.render.implicit import march_with_closest_implicit
+
+    r, q, t, _ = setup
+    sdf_vec = r.sdf_vec
+    p0 = jnp.asarray([[0.35, 0.0, 2.0]], jnp.float64)
+    v = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float64)
+
+    def min_f_exact(params):
+        _, m = march_with_closest(sdf_vec, params, p0, v, 24)
+        return jnp.sum(m)
+
+    def min_f_ift(params):
+        _, m = march_with_closest_implicit(sdf_vec, params, p0, v, 24)
+        return jnp.sum(m)
+
+    # Identical forward values.
+    np.testing.assert_allclose(
+        float(min_f_ift(r.init_params)), float(min_f_exact(r.init_params)),
+        rtol=1e-12,
+    )
+    g_exact = np.asarray(jax.grad(min_f_exact)(r.init_params)["halfsides"])
+    g_ift = np.asarray(jax.grad(min_f_ift)(r.init_params)["halfsides"])
+    assert g_ift[0] < -0.5  # the mechanism survives the approximation
+    np.testing.assert_allclose(g_ift, g_exact, rtol=0.1, atol=1e-3)
+
+
+def test_soft_silhouette_fit_converges_with_implicit_backward(setup):
+    """The two-view box fit also converges with the O(1) IFT + argmin-frozen
+    coverage backward (backward='implicit') — silhouette-aware training at
+    IFT speed, same objective and budget as the exact-path fit."""
+    from dataclasses import replace
+
+    r_exact, q, t, true_params = setup
+    r = Renderer(
+        Box(halfsides=(0.3, 0.3, 0.2)),
+        replace(r_exact.config, backward="implicit"),
+        dtype=jnp.float64, grid_dtype=np.float64,
+    )
+    img_t, a_t = r.render_with_alpha(true_params, q, t, mode=0, beta=BETA)
+    target_soft = composite(img_t, a_t)
+    out = optimize(
+        r, target_soft, q, t,
+        InverseConfig(learning_rate=2e-2, steps=150, mode=0,
+                      trainable=["halfsides"], silhouette_beta=BETA),
+        target_alpha=a_t,
+    )
+    h = np.asarray(out["params"]["halfsides"])
+    np.testing.assert_allclose(h, [0.5, 0.5, 0.2], atol=0.035)
