@@ -42,7 +42,7 @@ def _add_render_args(p):
                    help="use the fused Pallas marching kernel")
     p.add_argument("--fast", action="store_true",
                    help="plane-native renderer with the fused march+normals "
-                        "mega-kernel (single camera)")
+                        "mega-kernel")
     p.add_argument("--backward", default="unroll",
                    choices=["unroll", "implicit"])
     p.add_argument("--grid-dtype", default="float32",

@@ -17,8 +17,12 @@ communication-free per ray, so any mesh factorization works; on pods put
 'host' first so the outer axis rides DCN and rays never cross it except in
 the four scalar collectives per frame (min, max, psum·2).
 
-Single-camera only (the fast path's flagship configuration); multi-camera
-batches use the modular sharded path (:mod:`.sharding`) with its 'dp' axis.
+Multi-camera batches shard too: cameras stack along plane rows, the device
+count must be a multiple of the camera count so each row shard belongs to
+exactly one camera (its index is recovered from the mesh position inside
+``shard_map``, and orientation/translation gradients route back through the
+dynamic slice's scatter-add transpose + the psum). The batch-wide shader
+normalizations still span all cameras via the same pmin/pmax collectives.
 """
 
 from __future__ import annotations
@@ -37,15 +41,18 @@ def _plane_specs(mesh: Mesh):
 
 def _check_rows(fast, mesh: Mesh):
     nd = mesh.devices.size
-    if fast.num_cameras != 1:
+    if nd % fast.num_cameras:
         raise ValueError(
-            "fast_shard_render is single-camera; use parallel.sharding for "
-            "multi-camera batches"
+            f"{fast.num_cameras} cameras over {nd} devices: the device "
+            "count must be a multiple of the camera count (each row shard "
+            "belongs to exactly one camera)"
         )
-    if fast.rows % (8 * nd):
+    per_cam = nd // fast.num_cameras
+    if fast.rows_per_cam % (8 * per_cam):
         raise ValueError(
-            f"rows={fast.rows} not divisible by 8×{nd} devices; construct "
-            f"FastRenderer(..., row_multiple={8 * nd})"
+            f"rows_per_cam={fast.rows_per_cam} not divisible by "
+            f"8×{per_cam} shards per camera; construct "
+            f"FastRenderer(..., row_multiple={8 * per_cam})"
         )
 
 
@@ -64,12 +71,26 @@ def make_channel_fn(fast, mesh: Mesh, *, mode: int = 0, degree: int = 1,
     steps = marching_steps or fast.config.marching_steps
     beta = fast.config.silhouette_beta if beta is None else beta
 
+    nd = mesh.devices.size
+    shards_per_cam = nd // fast.num_cameras
+
     def local(params, orientation, translation,
               p0x, p0y, p0z, d0x, d0y, d0z, valid):
-        origin, dirs = fast._pose_planes(
-            orientation, translation, pos0=(p0x, p0y, p0z),
-            dir0=(d0x, d0y, d0z),
-        )
+        # Which camera does this row shard belong to? Shards are laid out
+        # row-major over the mesh axes, cameras stack along rows, and
+        # _check_rows guarantees whole-camera shard groups.
+        idx = jnp.int32(0)
+        for ax in mesh.axis_names:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        cam = idx // shards_per_cam
+        q = jax.lax.dynamic_slice_in_dim(orientation, cam, 1, axis=0)
+        t = jax.lax.dynamic_slice_in_dim(translation, cam, 1, axis=0)
+        qw, qx, qy, qz = (q[0, i] for i in range(4))
+        from ray_marching_tpu import quat
+
+        px, py, pz = quat.rotate_c(qw, qx, qy, qz, p0x, p0y, p0z)
+        origin = (px + t[0, 0], py + t[0, 1], pz + t[0, 2])
+        dirs = quat.rotate_c(qw, qx, qy, qz, d0x, d0y, d0z)
         if with_alpha:
             from ray_marching_tpu.render.silhouette import soft_coverage
 
@@ -81,8 +102,8 @@ def make_channel_fn(fast, mesh: Mesh, *, mode: int = 0, degree: int = 1,
                 params, origin, dirs, steps, valid=valid
             )
         channels = fast._shade(
-            mode, degree, orientation, origin, final_dirs, hit,
-            valid_b=valid > 0.5, axis_names=axes,
+            mode, degree, q, origin, final_dirs, hit,
+            valid_b=valid > 0.5, axis_names=axes, cameras=1,
         )
         if with_alpha:
             channels = list(channels) + [soft_coverage(minf, beta)]
@@ -98,10 +119,19 @@ def make_channel_fn(fast, mesh: Mesh, *, mode: int = 0, degree: int = 1,
         check_vma=False,
     )
 
+    # The baked camera-frame planes are per-camera (rows_per_cam rows);
+    # the sharded row axis spans the whole camera stack — tile them.
+    def _stack(p):
+        if fast.num_cameras == 1:
+            return p
+        return jnp.concatenate([p] * fast.num_cameras, axis=0)
+
+    pos0 = [_stack(p) for p in fast._pos0]
+    dir0 = [_stack(p) for p in fast._dir0]
+
     def channels(params, orientation, translation):
         return sharded(
-            params, orientation, translation,
-            *fast._pos0, *fast._dir0, fast._valid,
+            params, orientation, translation, *pos0, *dir0, fast._valid,
         )
 
     return channels

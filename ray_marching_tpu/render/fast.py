@@ -111,14 +111,12 @@ class FastRenderer:
 
     # -- pure pieces -------------------------------------------------------
 
-    def _pose_planes(self, orientation, translation, pos0=None, dir0=None):
+    def _pose_planes(self, orientation, translation):
         """World-space position/direction planes, cameras stacked row-wise.
-
-        ``pos0``/``dir0`` override the baked-in camera-frame planes — the
-        sharded path passes each device's row shard of them (single-camera
-        only, so no per-camera stacking applies)."""
-        pos0 = self._pos0 if pos0 is None else pos0
-        dir0 = self._dir0 if dir0 is None else dir0
+        (The sharded path poses its row shard itself — one camera per
+        shard, recovered from the mesh position; parallel/fast_sharding.)"""
+        pos0 = self._pos0
+        dir0 = self._dir0
         pos, dirs = [], []
         for n in range(self.num_cameras):
             qw, qx, qy, qz = (orientation[n, i] for i in range(4))
@@ -134,12 +132,17 @@ class FastRenderer:
             tuple(cat([d[i] for d in dirs]) for i in range(3)),
         )
 
-    def _per_camera(self, fn, *plane_groups):
-        """Apply fn(cam_idx, *per-camera plane slices) and re-concat rows."""
-        if self.num_cameras == 1:
+    def _per_camera(self, fn, *plane_groups, cameras=None):
+        """Apply fn(cam_idx, *per-camera plane slices) and re-concat rows.
+
+        ``cameras`` overrides the camera count (the sharded path shades one
+        shard at a time — a single camera's rows, whichever camera that
+        shard belongs to)."""
+        cameras = self.num_cameras if cameras is None else cameras
+        if cameras == 1:
             return fn(0, *plane_groups)
         outs = []
-        for n in range(self.num_cameras):
+        for n in range(cameras):
             lo = n * self.rows_per_cam
             hi = lo + self.rows_per_cam
             sliced = [
@@ -199,11 +202,13 @@ class FastRenderer:
         return [brightness * c for c in cols]
 
     def _shade(self, mode, degree, orientation, origin, dirs, hit,
-               valid_b=None, axis_names=()):
+               valid_b=None, axis_names=(), cameras=None):
         """Componentwise shaders on planes; returns [r, g, b] planes.
 
         ``valid_b``/``axis_names`` override the global-normalization mask
-        for sharded row shards (inside ``shard_map``)."""
+        for sharded row shards (inside ``shard_map``); ``cameras``
+        overrides the camera count (a shard is always one camera — pass 1
+        with that camera's ``orientation`` row)."""
         x, y, z, d, nx, ny, nz, lap = hit
         dx, dy, dz = dirs
         name = shaders.MODES[mode % len(shaders.MODES)]
@@ -227,7 +232,8 @@ class FastRenderer:
                 az = w_ * w_ - i_ * i_ - j_ * j_ + k_ * k_
                 v = (dxn * ax + dyn * ay + dzn * az) ** 3
                 return [v, v, v]
-            return self._per_camera(vignette_cam, [dx, dy, dz])
+            return self._per_camera(vignette_cam, [dx, dy, dz],
+                                    cameras=cameras)
         if name == "normal":
             return [clamp(jnp.abs(c), 0.0, 1.0) for c in (nx, ny, nz)]
         if name == "laplacian":
@@ -246,7 +252,8 @@ class FastRenderer:
                 )
                 prx, pry, _ = quat.rotate_c(*qc, tx_, ty_, tz_)
                 return self._domain_colouring(prx, pry, degree)
-            return self._per_camera(tangent_cam, [dx, dy, dz], [nx, ny, nz])
+            return self._per_camera(tangent_cam, [dx, dy, dz],
+                                    [nx, ny, nz], cameras=cameras)
 
         # spin: q̄·(0, N); reference passes (im, re) into the (re, im) slots.
         def spin_cam(n, normals_n):
@@ -259,7 +266,7 @@ class FastRenderer:
             real_part = a * a - b2
             imag_part = jnp.sqrt(b2) * a * 2.0
             return self._domain_colouring(imag_part, real_part, degree)
-        return self._per_camera(spin_cam, [nx, ny, nz])
+        return self._per_camera(spin_cam, [nx, ny, nz], cameras=cameras)
 
     # -- public API --------------------------------------------------------
 

@@ -122,16 +122,6 @@ def test_row_multiple_validation():
         fs.make_channel_fn(f, mesh)
 
 
-def test_multi_camera_rejected():
-    cfg = RenderConfig(num_cameras=2, px_width=16, px_height=8,
-                       marching_steps=4)
-    f = FastRenderer(registry.make_scene("single_sphere"), cfg,
-                     interpret=True)
-    mesh = make_mesh((8,), ("rays",))
-    with pytest.raises(ValueError, match="single-camera"):
-        fs.make_channel_fn(f, mesh)
-
-
 def test_sharded_render_with_alpha_matches_single_device(setup):
     """Coverage is per-ray — the sharded alpha must equal the single-device
     fast render_with_alpha bit-for-tolerance, image included."""
@@ -196,3 +186,74 @@ def test_sharded_silhouette_train_step_descends(setup):
         params, opt_state, loss = step(params, opt_state, tp, tap, q, t)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.75
+
+
+def test_multi_camera_sharded_matches_local():
+    """Two cameras over 8 devices (4 row shards per camera): sharded pixels
+    equal the unsharded fast render on every mode class (incl. the
+    orientation-dependent vignette/tangent/spin, which recover their
+    camera's pose from the mesh position), and parameter + pose gradients
+    match (the pose cotangent routes through the dynamic slice's
+    scatter-add transpose and the shard psum)."""
+    cfg = RenderConfig(
+        num_cameras=2, px_width=48, px_height=32,
+        focal_length=PX * 32, sensor_width=PX * 48, sensor_height=PX * 32,
+        marching_steps=8,
+    )
+    node = registry.make_scene("test_scene2")
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True, row_multiple=8 * 8 // 2)
+    mesh = make_mesh((8,), ("rays",))
+    q = jnp.asarray(
+        [[0.0, 0.0, 1.0, 0.0], [0.1, 0.02, 0.99, 0.01]], jnp.float64
+    )
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = jnp.asarray([[0.0, 0.2, 2.0], [0.2, 0.1, 2.2]], jnp.float64)
+
+    for mode in (0, 1, 3, 6, 7):
+        rs = fs.fast_shard_render(f, mesh, mode=mode, degree=2)
+        a = np.asarray(rs(f.init_params, q, t))
+        b = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=2))
+        assert a.shape == b.shape == (2, 32, 48, 3)
+        close = np.isclose(a, b, rtol=1e-9, atol=1e-11, equal_nan=True)
+        # tangent/spin may flip a few floor()-boundary colourmap indices.
+        limit = 0.005 if mode in (6, 7) else 0.0
+        assert (~close).mean() <= limit, f"mode {mode}"
+
+    rng = np.random.default_rng(1)
+    w_img = jnp.asarray(rng.standard_normal((2, 32, 48, 3)))
+    chan = fs.make_channel_fn(f, mesh, mode=0, degree=2)
+    tp = f.image_to_planes(w_img)
+
+    def loss_sharded(params, q, t):
+        return jnp.sum(chan(params, q, t) * tp)
+
+    def loss_local(params, q, t):
+        return jnp.sum(f.render(params, q, t, mode=0, degree=2) * w_img)
+
+    g1 = jax.grad(loss_sharded, argnums=(0, 1, 2))(f.init_params, q, t)
+    g2 = jax.grad(loss_local, argnums=(0, 1, 2))(f.init_params, q, t)
+    p1, p2 = param_paths(g1[0]), param_paths(g2[0])
+    assert set(p1) == set(p2)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-6, atol=1e-10,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g1[2]), np.asarray(g2[2]),
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_multi_camera_sharded_rejects_bad_device_count():
+    cfg = RenderConfig(
+        num_cameras=3, px_width=16, px_height=16,
+        focal_length=PX * 16, sensor_width=PX * 16, sensor_height=PX * 16,
+        marching_steps=4,
+    )
+    f = FastRenderer(registry.make_scene("test_scene2"), cfg,
+                     dtype=jnp.float64, interpret=True)
+    mesh = make_mesh((8,), ("rays",))
+    with pytest.raises(ValueError, match="multiple of the camera count"):
+        fs.fast_shard_render(f, mesh, mode=0)
