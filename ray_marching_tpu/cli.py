@@ -270,6 +270,7 @@ def cmd_interactive(args):
     camera, session, frames = run_viewer(
         renderer, source, sink, max_frames=args.frames,
         print_fps=args.display != "term",
+        fetch_stride=args.fetch_stride,
     )
     print(f"rendered {frames} frames to {args.out}")
 
@@ -351,6 +352,10 @@ def main(argv=None):
                    default="none",
                    help="'term' = live ANSI half-block preview in-terminal; "
                         "'kitty' = pixel-perfect kitty-graphics preview")
+    p.add_argument("--fetch-stride", type=int, default=1,
+                   help="device-side pixel subsampling before the "
+                        "device->host fetch (faster live preview over "
+                        "thin links; saved PNGs are strided too)")
     p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("bench", help="run the rays/s benchmark")

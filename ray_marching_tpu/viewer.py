@@ -150,15 +150,16 @@ class TerminalSink:
         img = np.asarray(image)
         if img.ndim == 4:  # (N, H, W, 3) → first camera
             img = img[0]
-        img = np.nan_to_num(img, nan=0.0, posinf=1.0, neginf=0.0)
-        img = np.clip(img, 0.0, 1.0)
+        if img.dtype != np.uint8:  # floats: NaN→black, clamp, quantize
+            img = np.nan_to_num(img, nan=0.0, posinf=1.0, neginf=0.0)
+            img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
         h, w = img.shape[:2]
         step = max(1, -(-w // self.max_cols), -(-h // (2 * self.max_rows)))
         img = img[::step, ::step]
         # Even row count for the top/bottom pairing.
         if img.shape[0] % 2:
             img = img[:-1]
-        rgb = (img * 255).astype(np.uint8)
+        rgb = img
         top, bottom = rgb[0::2], rgb[1::2]
         lines = []
         for tr, br in zip(top, bottom):
@@ -243,17 +244,44 @@ def run_viewer(renderer, input_source, sink: Callable, *,
                control: ControlConfig = ControlConfig(),
                max_frames: Optional[int] = None,
                print_fps: bool = True,
-               jit_cache_size: int = 8):
+               jit_cache_size: int = 8,
+               transfer: str = "uint8",
+               fetch_stride: int = 1):
     """The frame loop (reference main.py:52-88). Returns final states.
 
     The per-(mode, steps, degree) jit cache is LRU-bounded
     (``jit_cache_size``): scrubbing marching_steps interactively recompiles
     but no longer accumulates compiled functions without bound.
+
+    ``transfer='uint8'`` (default) quantizes frames to display bytes ON
+    DEVICE before the device→host fetch — 4× less transfer per frame,
+    which dominates interactive FPS over thin links (and is what every
+    sink converts to anyway; NaN pixels map to black, matching the sinks'
+    float handling). ``transfer='float32'`` fetches raw shader output.
+    ``fetch_stride=k`` additionally subsamples every k-th pixel on device
+    before the fetch (live-preview sessions over thin links; saved PNGs
+    are then strided too).
     """
     from collections import OrderedDict
 
+    import jax.numpy as jnp
+
     camera = camera or CameraState.initial(dtype=renderer.dtype)
     session = session or SessionState(marching_steps=renderer.config.marching_steps)
+
+    @jax.jit
+    def quantize(img):
+        if fetch_stride > 1:
+            img = img[:, ::fetch_stride, ::fetch_stride]
+        img = jnp.nan_to_num(img, nan=0.0, posinf=1.0, neginf=0.0)
+        return (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    def make_fn(mode, steps, degree):
+        base = renderer.jitted(mode=mode, marching_steps=steps, degree=degree)
+        if transfer != "uint8":
+            return base
+        return lambda p, q, t: quantize(base(p, q, t))
+
     jitted_cache = OrderedDict()
     frame_idx = 0
     old_time = time.perf_counter()
@@ -267,9 +295,7 @@ def run_viewer(renderer, input_source, sink: Callable, *,
         if key in jitted_cache:
             jitted_cache.move_to_end(key)
         else:
-            jitted_cache[key] = renderer.jitted(
-                mode=key[0], marching_steps=key[1], degree=key[2]
-            )
+            jitted_cache[key] = make_fn(*key)
             while len(jitted_cache) > jit_cache_size:
                 jitted_cache.popitem(last=False)
         image = jitted_cache[key](

@@ -215,3 +215,28 @@ def test_kitty_sink_emits_valid_graphics_protocol():
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
     # Every transmission chunk stays within the 4096-byte protocol limit.
     assert all(len(d) <= 4096 for _, d in apcs)
+
+
+def test_uint8_transfer_and_fetch_stride(tmp_path):
+    """Frames reach the sink as device-quantized uint8 (4x less
+    device->host transfer than float32 — the interactive-FPS bottleneck on
+    thin links); fetch_stride subsamples on device before the fetch. The
+    quantized bytes must equal host-side quantization of the float render."""
+    from ray_marching_tpu.viewer import ScriptedInput
+
+    r = make_renderer()
+    frames = []
+    script = ScriptedInput([InputSnapshot() for _ in range(2)])
+    run_viewer(r, script, lambda i, img, s: frames.append(np.asarray(img)),
+               print_fps=False, fetch_stride=2)
+    assert frames[0].dtype == np.uint8
+    h, w = r.config.px_height, r.config.px_width
+    assert frames[0].shape == (1, (h + 1) // 2, (w + 1) // 2, 3)
+
+    from ray_marching_tpu.control import CameraState
+    cam = CameraState.initial(dtype=r.dtype)
+    ref = np.asarray(r.render(r.init_params, cam.orientation, cam.position,
+                              mode=0, degree=1))[:, ::2, ::2]
+    ref = np.nan_to_num(ref, nan=0.0, posinf=1.0, neginf=0.0)
+    ref8 = (np.clip(ref, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(frames[0], ref8)
