@@ -285,6 +285,22 @@ def run_viewer(renderer, input_source, sink: Callable, *,
     jitted_cache = OrderedDict()
     frame_idx = 0
     old_time = time.perf_counter()
+    # One-frame pipeline: dispatch frame n+1 (async on device) BEFORE
+    # fetching and sinking frame n, so the device renders while the host
+    # transfers/encodes — the two dominant costs overlap. Costs one frame
+    # of display latency (reference main.py's loop is serial, but its draw
+    # was a same-GPU zero-copy blit; ours crosses a link).
+    pending = None  # (frame_idx, device image, session at dispatch)
+
+    def flush(pending):
+        nonlocal old_time
+        idx, dev_image, sess = pending
+        sink(idx, jax.device_get(dev_image), sess)
+        new_time = time.perf_counter()
+        if print_fps:
+            print(f"{1.0 / (new_time - old_time):.2f} frames per second")
+        old_time = new_time
+
     while session.running and (max_frames is None or frame_idx < max_frames):
         snap = input_source.poll()
         session = session.step(snap)
@@ -301,12 +317,11 @@ def run_viewer(renderer, input_source, sink: Callable, *,
         image = jitted_cache[key](
             renderer.init_params, camera.orientation, camera.position
         )
-        image = jax.device_get(image)
-        sink(frame_idx, image, session)
-        new_time = time.perf_counter()
-        if print_fps:
-            print(f"{1.0 / (new_time - old_time):.2f} frames per second")
-        old_time = new_time
+        if pending is not None:
+            flush(pending)
+        pending = (frame_idx, image, session)
         frame_idx += 1
+    if pending is not None:
+        flush(pending)
     input_source.close()
     return camera, session, frame_idx
