@@ -56,7 +56,13 @@ def write_png(path, image) -> Path:
     """
     image = np.asarray(image)
     if image.ndim == 4:
+        # Keep uint8 frames uint8: the camera mean promotes to float, and
+        # encode_png interprets non-uint8 input as [0, 1] — without the
+        # round-trip every 0-255 value would clip to white.
+        was_uint8 = image.dtype == np.uint8
         image = image.mean(axis=0)
+        if was_uint8:
+            image = (image + 0.5).astype(np.uint8)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(encode_png(image))

@@ -39,7 +39,7 @@ from ray_marching_tpu.ops.pallas_render import (
 from ray_marching_tpu.render import shaders
 from ray_marching_tpu.render.pipeline import RenderConfig
 from ray_marching_tpu.scene.graph import Node, compile_scene
-from ray_marching_tpu.utils import clamp, rmin, rmax
+from ray_marching_tpu.utils import clamp, prmax, prmin, rmax, rmin
 
 LANES = 128
 ROWS_PER_TILE = 256
@@ -155,25 +155,27 @@ class FastRenderer:
 
     def _masked_min(self, v, valid_b=None, axis_names=()):
         """Global masked min; ``axis_names`` extends it across mesh axes
-        (explicit ``lax.pmin`` for use inside ``shard_map``, matching the
-        reference's whole-image reductions, shader.py:34-37,51-54,83-84)."""
+        (for use inside ``shard_map``, matching the reference's whole-image
+        reductions, shader.py:34-37,51-54,83-84)."""
         valid_b = self._valid_b if valid_b is None else valid_b
         big = jnp.asarray(np.finfo(np.float32).max, v.dtype)
         # rmin/rmax: select-backward reductions (torch Tensor.min semantics)
         # so a NaN cotangent at the arg-extremum stays there instead of
-        # spreading to every plane slot (utils.rmin).
-        out = rmin(jnp.where(valid_b, v, big))
+        # spreading to every plane slot (utils.rmin). The sharded variant
+        # fuses the collective into the reduction (utils.prmin — bare
+        # lax.pmin has no VJP rule) with the same global tie splitting.
+        filled = jnp.where(valid_b, v, big)
         if axis_names:
-            out = jax.lax.pmin(out, axis_names)
-        return out
+            return prmin(filled, tuple(axis_names))
+        return rmin(filled)
 
     def _masked_max(self, v, valid_b=None, axis_names=()):
         valid_b = self._valid_b if valid_b is None else valid_b
         big = jnp.asarray(np.finfo(np.float32).max, v.dtype)
-        out = rmax(jnp.where(valid_b, v, -big))
+        filled = jnp.where(valid_b, v, -big)
         if axis_names:
-            out = jax.lax.pmax(out, axis_names)
-        return out
+            return prmax(filled, tuple(axis_names))
+        return rmax(filled)
 
     def _log_minmax_norm(self, dists, valid_b=None, axis_names=()):
         log_d = jnp.log(clamp(dists, 1e-2))

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ray_marching_tpu import quat
-from ray_marching_tpu.utils import clamp, rmin, rmax
+from ray_marching_tpu.utils import clamp, prmax, prmin, rmax, rmin
 
 _GAMMA = 1.0 / 2.33
 _CMAP_PATH = Path(__file__).resolve().parent.parent / "data" / "cyclic_cmap.npy"
@@ -51,12 +51,16 @@ def load_cyclic_cmap(dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(np.load(_CMAP_PATH), dtype=dtype)
 
 
-def _global_reduce(x, reduce_fn, pmap_fn, axis_names):
-    """Whole-tensor reduction, extended across mesh axes when named."""
-    val = reduce_fn(x)
+def _global_reduce(x, reduce_fn, sharded_fn, axis_names):
+    """Whole-tensor reduction, extended across mesh axes when named.
+
+    The sharded variant fuses the local reduce with the collective
+    (utils.prmin/prmax) so the reduction stays differentiable — bare
+    ``lax.pmin``/``pmax`` have no VJP rule — with the exact global
+    tie-splitting semantics of the single-device path."""
     if axis_names:
-        val = pmap_fn(val, axis_names)
-    return val
+        return sharded_fn(x, tuple(axis_names))
+    return reduce_fn(x)
 
 
 def lambertian(ray_directions, surface_normals):
@@ -75,16 +79,16 @@ def distance(px_coords, surface_coords, axis_names=()):
             1e-2,
         )
     )
-    lo = _global_reduce(log_dists, rmin, jax_pmin, axis_names)
-    hi = _global_reduce(log_dists, rmax, jax_pmax, axis_names)
+    lo = _global_reduce(log_dists, rmin, prmin, axis_names)
+    hi = _global_reduce(log_dists, rmax, prmax, axis_names)
     return ((log_dists - lo) / (hi - lo)) ** _GAMMA
 
 
 def proximity(surface_distances, axis_names=()):
     """Same normalization on terminal SDF values (shader.py:41-55) → 1ch."""
     log_dists = jnp.log(clamp(surface_distances, 1e-2))
-    lo = _global_reduce(log_dists, rmin, jax_pmin, axis_names)
-    hi = _global_reduce(log_dists, rmax, jax_pmax, axis_names)
+    lo = _global_reduce(log_dists, rmin, prmin, axis_names)
+    hi = _global_reduce(log_dists, rmax, prmax, axis_names)
     return ((log_dists - lo) / (hi - lo)) ** _GAMMA
 
 
@@ -108,7 +112,7 @@ def normal(surface_normals):
 def laplacian(surface_laplacian, axis_names=()):
     """Laplacian mapped ``(1 − L/max|L|)/2``, clamped, gamma-corrected
     (shader.py:77-89) → 1 channel."""
-    hi = _global_reduce(jnp.abs(surface_laplacian), rmax, jax_pmax, axis_names)
+    hi = _global_reduce(jnp.abs(surface_laplacian), rmax, prmax, axis_names)
     x = surface_laplacian / hi
     return clamp((1.0 - x) / 2.0, 0.0, 1.0) ** _GAMMA
 
@@ -248,18 +252,6 @@ def spin(camera_orientation_conj, surface_normals, cyclic_cmap, degree=1,
     if cmap_coeffs is not None:
         return domain_colouring_fourier(imag_part, real_part, cmap_coeffs, degree)
     return domain_colouring(imag_part, real_part, cyclic_cmap, degree)
-
-
-def jax_pmin(x, axis_names):
-    import jax
-
-    return jax.lax.pmin(x, axis_names)
-
-
-def jax_pmax(x, axis_names):
-    import jax
-
-    return jax.lax.pmax(x, axis_names)
 
 
 def shade(

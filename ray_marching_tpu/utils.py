@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -91,3 +93,61 @@ def _rmax_bwd(res, g):
 
 
 rmax.defvjp(_rmax_fwd, _rmax_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def prmin(x, axis_names):
+    """Cross-shard whole-tensor min with torch-``Tensor.min()`` gradient
+    semantics — the ``shard_map`` analogue of :func:`rmin`.
+
+    ``jax.lax.pmin`` carries no differentiation rule, so composing
+    ``rmin`` + ``pmin`` made the explicit-collective shader normalizations
+    (reference rendering/shader.py:34-37,51-54,83-84 under sharding)
+    non-differentiable. This fuses the local reduce with the collective and
+    defines the exact global VJP: the replicated output is consumed on
+    every shard, so the per-shard cotangents are psum-summed, then split
+    evenly over ALL arg-min elements across every shard — identical to
+    :func:`rmin` applied to the unsharded tensor, ties included (the
+    distance/proximity shaders' ``clamp(·, 1e-2)`` floor makes cross-shard
+    ties routine, so composing the two tie splits would mis-weight them).
+    """
+    return jax.lax.pmin(jnp.min(x), axis_names)
+
+
+def _prmin_fwd(x, axis_names):
+    m = jax.lax.pmin(jnp.min(x), axis_names)
+    return m, (x, m)
+
+
+def _prmin_bwd(axis_names, res, g):
+    x, m = res
+    mask = x == m
+    n = jax.lax.psum(jnp.sum(mask, dtype=x.dtype), axis_names)
+    g = jax.lax.psum(g, axis_names)
+    return (jnp.where(mask, g / n, jnp.zeros_like(x)),)
+
+
+prmin.defvjp(_prmin_fwd, _prmin_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def prmax(x, axis_names):
+    """Cross-shard whole-tensor max with torch-``Tensor.max()`` gradient
+    semantics (see :func:`prmin`)."""
+    return jax.lax.pmax(jnp.max(x), axis_names)
+
+
+def _prmax_fwd(x, axis_names):
+    m = jax.lax.pmax(jnp.max(x), axis_names)
+    return m, (x, m)
+
+
+def _prmax_bwd(axis_names, res, g):
+    x, m = res
+    mask = x == m
+    n = jax.lax.psum(jnp.sum(mask, dtype=x.dtype), axis_names)
+    g = jax.lax.psum(g, axis_names)
+    return (jnp.where(mask, g / n, jnp.zeros_like(x)),)
+
+
+prmax.defvjp(_prmax_fwd, _prmax_bwd)

@@ -276,11 +276,17 @@ def run_viewer(renderer, input_source, sink: Callable, *,
         img = jnp.nan_to_num(img, nan=0.0, posinf=1.0, neginf=0.0)
         return (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
+    @jax.jit
+    def stride(img):
+        return img[:, ::fetch_stride, ::fetch_stride]
+
     def make_fn(mode, steps, degree):
         base = renderer.jitted(mode=mode, marching_steps=steps, degree=degree)
-        if transfer != "uint8":
-            return base
-        return lambda p, q, t: quantize(base(p, q, t))
+        if transfer == "uint8":
+            return lambda p, q, t: quantize(base(p, q, t))
+        if fetch_stride > 1:  # stride applies on device for raw fetches too
+            return lambda p, q, t: stride(base(p, q, t))
+        return base
 
     jitted_cache = OrderedDict()
     frame_idx = 0

@@ -75,3 +75,26 @@ def test_axis_names_branch_matches_single_device(setup, mode):
     b = np.asarray(sharded(r.init_params, pixel_pos, ray_pos, ray_dirs))
     a = np.asarray(r.render(r.init_params, q, t, mode=mode, degree=1))
     np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-14, equal_nan=True)
+
+    # The branch must stay differentiable (lax.pmin/pmax have no VJP rule;
+    # the collectives run through utils.prmin/prmax) with gradients equal
+    # to the single-device whole-image reductions — global tie splitting
+    # included (the clamp(·, 1e-2) floor ties across shards).
+    rng = np.random.default_rng(mode)
+    w_img = jnp.asarray(rng.standard_normal(a.shape[:3] + (1,)))
+
+    def loss_sh(params):
+        img = sharded(params, pixel_pos, ray_pos, ray_dirs)[..., :1]
+        return jnp.sum(jnp.nan_to_num(img * w_img, nan=0.0))
+
+    def loss_sd(params):
+        img = r.render(params, q, t, mode=mode, degree=1)[..., :1]
+        return jnp.sum(jnp.nan_to_num(img * w_img, nan=0.0))
+
+    g0 = jax.grad(loss_sd)(r.init_params)
+    g1 = jax.jit(jax.grad(loss_sh))(r.init_params)
+    flat0, _ = jax.tree.flatten(g0)
+    flat1, _ = jax.tree.flatten(g1)
+    for x0, x1 in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                                   rtol=1e-9, atol=1e-12)

@@ -91,6 +91,40 @@ def test_sharded_fast_gradients_match(setup):
         )
 
 
+@pytest.mark.parametrize("mode", [1, 2, 5])
+def test_sharded_fast_gradients_normalized_modes(setup, mode):
+    """Modes with whole-image min/max normalizations must be differentiable
+    under shard_map: lax.pmin/pmax carry no VJP rule, so the collectives run
+    through utils.prmin/prmax (psum'd cotangent split over ALL global
+    arg-extremum ties — the clamp(·, 1e-2) floor makes cross-shard ties
+    routine). Gradients must equal the single-device fast path exactly."""
+    f, q, t = setup
+    mesh = make_mesh((2, 4), ("host", "chip"))
+    rng = np.random.default_rng(mode)
+    h, w = f.config.px_height, f.config.px_width
+    w_img = jnp.asarray(rng.standard_normal((1, h, w, 3)))
+    wp = f.image_to_planes(w_img)
+    chan = fs.make_channel_fn(f, mesh, mode=mode, degree=1)
+
+    def loss_sh(p):
+        return jnp.sum(jnp.nan_to_num(chan(p, q, t) * wp, nan=0.0))
+
+    def loss_sd(p):
+        img = f.render(p, q, t, mode=mode, degree=1)
+        return jnp.sum(jnp.nan_to_num(img * w_img, nan=0.0))
+
+    l0, g0 = jax.value_and_grad(loss_sd)(f.init_params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_sh))(f.init_params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-12)
+    p0, p1 = param_paths(g0), param_paths(g1)
+    assert set(p0) == set(p1)
+    for k in p0:
+        np.testing.assert_allclose(
+            np.asarray(p0[k]), np.asarray(p1[k]), rtol=1e-9, atol=1e-12,
+            err_msg=k,
+        )
+
+
 def test_sharded_fast_train_step_recovers_radius(setup):
     """BASELINE config 4 on the sharded fused path: the train step descends
     and moves the perturbed radius toward truth."""

@@ -240,3 +240,45 @@ def test_uint8_transfer_and_fetch_stride(tmp_path):
     ref = np.nan_to_num(ref, nan=0.0, posinf=1.0, neginf=0.0)
     ref8 = (np.clip(ref, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     np.testing.assert_array_equal(frames[0], ref8)
+
+
+def test_png_sink_uint8_frames_not_blown_out(tmp_path):
+    """The default uint8 transfer hands device-quantized (N,H,W,3) uint8
+    frames to PNGSink; write_png must keep them 0-255, not re-clip them to
+    [0,1] after the camera-mean float promotion (which binarized every
+    saved frame to black/white)."""
+    from ray_marching_tpu.cli import _read_png
+    from ray_marching_tpu.io.image import write_png
+
+    img = np.zeros((1, 4, 4, 3), np.uint8)
+    img[0, :2] = 10
+    img[0, 2:] = 200
+    path = write_png(tmp_path / "u8.png", img)
+    back = _read_png(path)
+    np.testing.assert_array_equal((back * 255.0 + 0.5).astype(np.uint8),
+                                  img[0])
+
+    # End-to-end: the PNGs saved by the default viewer loop must match the
+    # float32-transfer PNGs exactly (same on-device quantization rule).
+    r = make_renderer()
+    for transfer, sub in (("uint8", "a"), ("float32", "b")):
+        script = ScriptedInput([InputSnapshot()])
+        run_viewer(r, script, PNGSink(str(tmp_path / sub)), print_fps=False,
+                   transfer=transfer)
+    a = _read_png(tmp_path / "a" / "frame_00000.png")
+    b = _read_png(tmp_path / "b" / "frame_00000.png")
+    assert a.std() > 0.01, "saved frame is flat — quantization blowout"
+    np.testing.assert_allclose(a, b, atol=1.5 / 255.0)
+
+
+def test_float32_transfer_honors_fetch_stride():
+    """fetch_stride must subsample the fetch for raw float32 transfer too,
+    not only for the uint8 path."""
+    r = make_renderer()
+    frames = []
+    script = ScriptedInput([InputSnapshot()])
+    run_viewer(r, script, lambda i, img, s: frames.append(np.asarray(img)),
+               print_fps=False, transfer="float32", fetch_stride=2)
+    h, w = r.config.px_height, r.config.px_width
+    assert frames[0].dtype == np.float32
+    assert frames[0].shape == (1, (h + 1) // 2, (w + 1) // 2, 3)
