@@ -55,6 +55,11 @@ def _add_render_args(p):
                         "Fourier fit, max err 0.02/255; ~2.3x faster "
                         "domain-coloured modes on TPU)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--compile-cache", nargs="?", const="", default=None,
+                   metavar="DIR",
+                   help="enable the persistent compilation cache (default "
+                        "dir ~/.cache/ray_marching_tpu/jax_cache) — later "
+                        "processes skip the 30-70s first TPU compile")
 
 
 def _build_renderer(args):
@@ -62,6 +67,11 @@ def _build_renderer(args):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "compile_cache", None) is not None:
+        from ray_marching_tpu.runtime import enable_persistent_cache
+
+        print(f"compilation cache: "
+              f"{enable_persistent_cache(args.compile_cache or None)}")
     import jax.numpy as jnp
 
     from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
@@ -297,6 +307,40 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_export(args):
+    from ray_marching_tpu.io.export import export_render
+    from ray_marching_tpu.render.shaders import MODES
+
+    renderer = _build_renderer(args)
+    mode = MODES.index(args.mode) if args.mode in MODES else int(args.mode)
+    platforms = args.platforms.split(",") if args.platforms else None
+    path = export_render(renderer, args.out, mode=mode, degree=args.degree,
+                         platforms=platforms)
+    print(f"wrote {path}")
+
+
+def cmd_serve(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.compile_cache is not None:
+        from ray_marching_tpu.runtime import enable_persistent_cache
+
+        print(f"compilation cache: "
+              f"{enable_persistent_cache(args.compile_cache or None)}")
+    from ray_marching_tpu.serve import RenderServer
+
+    server = RenderServer(args.artifact, host=args.host, port=args.port,
+                          params_npz=args.params)
+    print(f"serving {args.artifact} on http://{args.host}:{server.port} "
+          f"(GET /render?pose=qw,qx,qy,qz/x,y,z)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+
+
 def cmd_profile(args):
     import jax
 
@@ -366,6 +410,30 @@ def main(argv=None):
     p.add_argument("--pallas", action="store_true",
                    help="route the modular march through the Pallas kernel")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("export", help="export a serving artifact (.rmx: "
+                                      "serialized StableHLO + scene params)")
+    _add_render_args(p)
+    p.add_argument("--mode", default="lambertian",
+                   help="shader name or index (0..7)")
+    p.add_argument("--platforms", default=None,
+                   help="comma-separated lowering platforms, e.g. cpu,tpu "
+                        "(default: current backend)")
+    p.add_argument("-o", "--out", default="model.rmx")
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("serve", help="HTTP render server over an exported "
+                                     "artifact (no scene graph, no retrace)")
+    p.add_argument("--artifact", required=True, help=".rmx artifact path")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8371)
+    p.add_argument("--params", default=None,
+                   help="npz checkpoint to hot-swap scene parameters "
+                        "(e.g. from optimize --save-params)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--compile-cache", nargs="?", const="", default=None,
+                   metavar="DIR", help="persistent compilation cache dir")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("profile", help="write a jax.profiler trace")
     _add_render_args(p)

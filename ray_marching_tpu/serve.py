@@ -1,0 +1,132 @@
+"""Minimal production render server over an exported ``.rmx`` artifact.
+
+Stdlib-only (http.server) HTTP frontend for artifacts built by
+:func:`ray_marching_tpu.io.export.export_render` — the deploy-side half of
+the compile-once serving story. The server process needs no scene graph
+and never traces Python: it deserializes StableHLO, warms it up once, and
+answers pose queries with PNG frames.
+
+    GET /meta                                  -> artifact metadata (JSON)
+    GET /render?pose=qw,qx,qy,qz/x,y,z         -> image/png
+    GET /healthz                               -> 200 once warmed up
+
+The reference has no serving story (an interactive ``main.py`` only,
+reference main.py:19-88); this is a TPU-framework capability extension.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def _parse_pose(spec: str, dtype):
+    import jax.numpy as jnp
+
+    q_str, t_str = spec.split("/")
+    q = np.asarray([float(v) for v in q_str.split(",")], np.float64)
+    q = q / np.linalg.norm(q)
+    t = [float(v) for v in t_str.split(",")]
+    return jnp.asarray([q], dtype), jnp.asarray([t], dtype)
+
+
+class RenderServer:
+    """Load an artifact, warm it up, and serve frames.
+
+    ``handle_request()`` (one request) and ``serve_forever()`` mirror the
+    underlying http.server; ``start()`` runs the loop on a daemon thread
+    and returns, for embedding in tests or larger processes.
+    """
+
+    def __init__(self, artifact, host: str = "127.0.0.1", port: int = 8371,
+                 params_npz=None):
+        import jax.numpy as jnp
+
+        from ray_marching_tpu.io.export import load_render
+        from ray_marching_tpu.io.image import encode_png
+
+        self.render_fn, self.params, self.meta = load_render(artifact)
+        if params_npz is not None:  # hot-swap optimized parameters
+            import jax
+
+            from ray_marching_tpu.io.checkpoint import load_pytree
+
+            self.params = load_pytree(params_npz, self.params)
+        self.dtype = jnp.dtype(self.meta["dtype"])
+        self._encode = encode_png
+        self._lock = threading.Lock()  # serialize device work per process
+        n = self.meta["num_cameras"]
+        # Warm-up: compile the StableHLO now so the first query is fast.
+        q, t = _parse_pose("1,0,0,0/0,0,0", self.dtype)
+        if n > 1:
+            q = jnp.concatenate([q] * n, axis=0)
+            t = jnp.concatenate([t] * n, axis=0)
+        np.asarray(self.render_fn(self.params, q, t))
+        self._warm = True
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _send(self, code, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                try:
+                    if url.path == "/healthz":
+                        self._send(200, b"ok", "text/plain")
+                    elif url.path == "/meta":
+                        self._send(
+                            200, json.dumps(server.meta).encode(),
+                            "application/json",
+                        )
+                    elif url.path == "/render":
+                        qs = parse_qs(url.query)
+                        pose = qs.get("pose", ["1,0,0,0/0,0,0"])[0]
+                        png = server.render_png(pose)
+                        self._send(200, png, "image/png")
+                    else:
+                        self._send(404, b"not found", "text/plain")
+                except Exception as exc:  # bad pose, shape mismatch, ...
+                    self._send(400, str(exc).encode(), "text/plain")
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+
+    def render_png(self, pose: str) -> bytes:
+        import jax.numpy as jnp
+
+        q, t = _parse_pose(pose, self.dtype)
+        n = self.meta["num_cameras"]
+        if n > 1:
+            q = jnp.concatenate([q] * n, axis=0)
+            t = jnp.concatenate([t] * n, axis=0)
+        with self._lock:
+            img = np.asarray(self.render_fn(self.params, q, t))
+        return self._encode(np.nan_to_num(img.mean(axis=0), nan=0.0))
+
+    def handle_request(self):
+        self.httpd.handle_request()
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def start(self):
+        thread = threading.Thread(target=self.serve_forever, daemon=True)
+        thread.start()
+        return thread
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
