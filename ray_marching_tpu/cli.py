@@ -252,6 +252,7 @@ def _read_png(path):
 
 def cmd_interactive(args):
     from ray_marching_tpu.viewer import (
+        APNGSink,
         KittySink,
         MultiSink,
         PNGSink,
@@ -271,6 +272,8 @@ def cmd_interactive(args):
             print(f"pynput unavailable ({exc}); falling back to --orbit")
             source = orbit_script(args.frames)
     sink = PNGSink(args.out, every=args.save_every)
+    if args.apng:
+        sink = MultiSink(sink, APNGSink(args.apng, fps=args.apng_fps))
     if args.display == "term":
         # Live ANSI half-block preview in the terminal + PNGs on disk.
         sink = MultiSink(TerminalSink(), sink)
@@ -400,6 +403,10 @@ def main(argv=None):
                    help="device-side pixel subsampling before the "
                         "device->host fetch (faster live preview over "
                         "thin links; saved PNGs are strided too)")
+    p.add_argument("--apng", default=None, metavar="PATH",
+                   help="additionally write all frames as one looping "
+                        "animated PNG (no ffmpeg needed)")
+    p.add_argument("--apng-fps", type=float, default=30.0)
     p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("bench", help="run the rays/s benchmark")

@@ -28,13 +28,7 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 def encode_png(image: np.ndarray) -> bytes:
     """Encode an (H, W, {1,3,4}) uint8 or float[0,1] array as PNG bytes."""
-    image = np.asarray(image)
-    if image.dtype != np.uint8:
-        image = (np.clip(np.nan_to_num(image, nan=0.0), 0.0, 1.0) * 255.0 + 0.5).astype(
-            np.uint8
-        )
-    if image.ndim == 2:
-        image = image[:, :, None]
+    image = _to_uint8(np.asarray(image))
     h, w, c = image.shape
     colour_type = {1: 0, 3: 2, 4: 6}[c]
     header = struct.pack(">IIBBBBB", w, h, 8, colour_type, 0, 0, 0)
@@ -46,6 +40,65 @@ def encode_png(image: np.ndarray) -> bytes:
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def _to_uint8(image: np.ndarray) -> np.ndarray:
+    if image.dtype != np.uint8:
+        image = (np.clip(np.nan_to_num(image, nan=0.0), 0.0, 1.0) * 255.0
+                 + 0.5).astype(np.uint8)
+    if image.ndim == 2:
+        image = image[:, :, None]
+    return image
+
+
+def write_apng(path, frames, fps: float = 30.0, num_plays: int = 0) -> Path:
+    """Write an animated PNG from an iterable of (H, W, {1,3,4}) frames.
+
+    Dependency-free animation export for orbit/turntable demos (the
+    framework's offline counterpart to the reference's live window) —
+    APNG plays in every browser and most viewers, needs no ffmpeg, and
+    reuses the PNG scanline encoder. ``num_plays=0`` loops forever. All
+    frames must share shape and channel count.
+    """
+    frames = [_to_uint8(np.asarray(f)) for f in frames]
+    if not frames:
+        raise ValueError("write_apng needs at least one frame")
+    h, w, c = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w, c):
+            raise ValueError(f"frame shape {f.shape} != {(h, w, c)}")
+    colour_type = {1: 0, 3: 2, 4: 6}[c]
+    delay_den = 1000
+    delay_num = max(1, round(delay_den / fps))
+
+    def scanlines(img):
+        return zlib.compress(
+            b"".join(b"\x00" + img[row].tobytes() for row in range(h)), 6
+        )
+
+    out = [
+        b"\x89PNG\r\n\x1a\n",
+        _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, colour_type, 0, 0, 0)),
+        _chunk(b"acTL", struct.pack(">II", len(frames), num_plays)),
+    ]
+    seq = 0
+    for i, f in enumerate(frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_num, delay_den, 0, 0
+        )
+        out.append(_chunk(b"fcTL", fctl))
+        seq += 1
+        data = scanlines(f)
+        if i == 0:  # first frame doubles as the still image
+            out.append(_chunk(b"IDAT", data))
+        else:
+            out.append(_chunk(b"fdAT", struct.pack(">I", seq) + data))
+            seq += 1
+    out.append(_chunk(b"IEND", b""))
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(b"".join(out))
+    return path
 
 
 def write_png(path, image) -> Path:

@@ -80,6 +80,16 @@ BWD_VMEM_LIMIT_BYTES = 64 * 2**20
 CKPT_INTERVAL = 8
 BWD_ROWS_PER_TILE_2L = 128
 MAX_UNROLL_STEPS = 64
+# Partial unroll of the reverse VJP sweep: inline up to this many traced-VJP
+# steps per loop trip (Mosaic's fori_loop only supports none/full unroll, so
+# the unrolling is manual). Applied only for static trip counts (not the
+# tau-early-exit while_loop), at the largest divisor of the step count ≤ the
+# cap. Sweep at 1080p/32 steps (tools/bwd_tile_sweep.py ...:uK): u1 9.8 ms,
+# u2 9.7, u4 9.9, u8 9.37 (winner, reproduced), u16 9.45, u32 (full) 10.5 —
+# and full unroll of the OLD recompute+sweep kernel blew Mosaic compile past
+# 8 min (round 1); with the march-history handoff the sweep-only body stays
+# compileable (~20-30 s) at every factor.
+BWD_UNROLL = 8
 
 
 def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
@@ -261,9 +271,30 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
         if track_min
         else gvz0
     )
-    gx, gy, gz, gtheta, gvx, gvy, gvz, _ = lax.fori_loop(
-        0, n_active, bwd_body, (gx, gy, gz, gtheta, gvz0, gvz0, gvz0, c0)
-    )
+    # Manual partial unroll of the reverse sweep (see BWD_UNROLL): largest
+    # divisor of the static trip count within the cap, 1 for the dynamic
+    # tau-early-exit count.
+    bwd_init = (gx, gy, gz, gtheta, gvz0, gvz0, gvz0, c0)
+    u = 1
+    if isinstance(n_active, int) and n_active > 0:
+        u = max(
+            d
+            for d in range(1, min(BWD_UNROLL, n_active) + 1)
+            if n_active % d == 0
+        )
+    if u > 1:
+        def bwd_body_u(jj, carry):
+            for k in range(u):
+                carry = bwd_body(jj * u + k, carry)
+            return carry
+
+        gx, gy, gz, gtheta, gvx, gvy, gvz, _ = lax.fori_loop(
+            0, n_active // u, bwd_body_u, bwd_init
+        )
+    else:
+        gx, gy, gz, gtheta, gvx, gvy, gvz, _ = lax.fori_loop(
+            0, n_active, bwd_body, bwd_init
+        )
 
     gx0_ref[:] = gx
     gy0_ref[:] = gy

@@ -227,6 +227,38 @@ class KittySink:
         self.file.flush()
 
 
+class APNGSink:
+    """Collect frames and write one looping animated PNG on close.
+
+    Offline animation export (orbit/turntable demos) — the viewer's
+    counterpart to saving a video, with no ffmpeg dependency. Frames are
+    held on the host as uint8; ``run_viewer`` calls :meth:`close` when the
+    loop ends.
+    """
+
+    def __init__(self, path, fps: float = 30.0):
+        self.path = path
+        self.fps = fps
+        self.frames = []
+
+    def __call__(self, frame_idx, image, session):
+        import numpy as np
+
+        img = np.asarray(image)
+        if img.ndim == 4:  # (N, H, W, 3) → first camera
+            img = img[0]
+        if img.dtype != np.uint8:
+            img = np.nan_to_num(img, nan=0.0, posinf=1.0, neginf=0.0)
+            img = (np.clip(img, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
+        self.frames.append(img)
+
+    def close(self):
+        from ray_marching_tpu.io.image import write_apng
+
+        if self.frames:
+            write_apng(self.path, self.frames, fps=self.fps)
+
+
 class MultiSink:
     """Fan a frame out to several sinks (e.g. terminal preview + PNGs)."""
 
@@ -236,6 +268,11 @@ class MultiSink:
     def __call__(self, frame_idx, image, session):
         for sink in self.sinks:
             sink(frame_idx, image, session)
+
+    def close(self):
+        for sink in self.sinks:
+            if hasattr(sink, "close"):
+                sink.close()
 
 
 def run_viewer(renderer, input_source, sink: Callable, *,
@@ -330,4 +367,6 @@ def run_viewer(renderer, input_source, sink: Callable, *,
     if pending is not None:
         flush(pending)
     input_source.close()
+    if hasattr(sink, "close"):  # finalize accumulating sinks (APNGSink)
+        sink.close()
     return camera, session, frame_idx

@@ -271,6 +271,44 @@ def test_png_sink_uint8_frames_not_blown_out(tmp_path):
     np.testing.assert_allclose(a, b, atol=1.5 / 255.0)
 
 
+def test_write_apng_roundtrip(tmp_path):
+    """The dependency-free APNG writer produces a spec-valid animation:
+    decoded frame count, loop count, and per-frame pixels all match."""
+    from PIL import Image
+
+    from ray_marching_tpu.io.image import write_apng
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (12, 16, 3), dtype=np.uint8)
+              for _ in range(4)]
+    path = write_apng(tmp_path / "anim.png", frames, fps=20)
+    with Image.open(path) as im:
+        assert im.is_animated and im.n_frames == 4
+        assert im.info.get("loop", 0) == 0  # infinite
+        for i, expect in enumerate(frames):
+            im.seek(i)
+            np.testing.assert_array_equal(
+                np.asarray(im.convert("RGB")), expect
+            )
+            assert abs(im.info["duration"] - 50.0) < 1e-6  # 1000/20 ms
+
+
+def test_apng_sink_via_viewer(tmp_path):
+    """run_viewer finalizes accumulating sinks: an orbit session writes one
+    animated PNG whose frames are the rendered (quantized) frames."""
+    from PIL import Image
+
+    from ray_marching_tpu.viewer import APNGSink, orbit_script
+
+    r = make_renderer()
+    path = tmp_path / "orbit.png"
+    run_viewer(r, orbit_script(3), APNGSink(path, fps=10), print_fps=False)
+    with Image.open(path) as im:
+        assert im.is_animated and im.n_frames == 3
+        h, w = r.config.px_height, r.config.px_width
+        assert im.size == (w, h)
+
+
 def test_float32_transfer_honors_fetch_stride():
     """fetch_stride must subsample the fetch for raw float32 transfer too,
     not only for the uint8 path."""

@@ -18,8 +18,11 @@ def parse(spec):
     tile = int(parts[0])
     lim = parts[1] if len(parts) > 1 else "none"
     limit = None if lim == "none" else int(float(lim.rstrip("Mm")) * 2**20)
-    two_level = len(parts) > 2 and parts[2] == "2l"
-    return tile, limit, two_level
+    two_level = "2l" in parts[2:]
+    unroll = next(
+        (int(p[1:]) for p in parts[2:] if p.startswith("u")), 1
+    )
+    return tile, limit, two_level, unroll
 
 
 def run(spec):
@@ -27,10 +30,11 @@ def run(spec):
     from ray_marching_tpu.ops import pallas_backward as pb
     import bench
 
-    tile, limit, two_level = parse(spec)
+    tile, limit, two_level, unroll = parse(spec)
     pb.BWD_ROWS_PER_TILE = tile
     pb.BWD_ROWS_PER_TILE_2L = tile
     pb.BWD_VMEM_LIMIT_BYTES = limit
+    pb.BWD_UNROLL = unroll
     os.environ["RM_TPU_BWD_TWO_LEVEL"] = "1" if two_level else "0"
     r, step = bench.build_step(1920, 1080)
     try:
