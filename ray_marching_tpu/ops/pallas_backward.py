@@ -102,11 +102,14 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
         # History logged by the forward kernel (pallas_render._march_tile):
         # pre-step positions 0..steps-1 plus the terminal position at
         # [steps] — the whole forward recompute below is skipped. With
-        # track_min the forward also hands over min_f and its arg-min step.
+        # track_min the forward also hands over min_f and its arg-min step;
+        # with tau > 0 it hands over the tile's exit step (broadcast over
+        # an int32 plane: how many history planes are live).
         refs = list(refs)
         hist_ref = refs.pop(0)
         minf_in_ref = refs.pop(0) if track_min else None
         amin_in_ref = refs.pop(0) if track_min else None
+        nact_in_ref = refs.pop(0) if tau != 0.0 else None
         (gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
          gtheta_ref) = refs
     else:
@@ -182,7 +185,14 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
         carry = (x, y, z)
         if track_min:
             carry = carry + (minf_in_ref[:], amin_in_ref[:])
-        n_active = steps
+        n_active = (
+            steps
+            if nact_in_ref is None
+            # The exit step is broadcast over the plane; reduce one row
+            # back to the scalar loop bound (Mosaic has no VMEM scalar
+            # loads).
+            else jnp.max(nact_in_ref[0:1, :])
+        )
     elif can_exit:
 
         def fwd_cond(carry):
@@ -272,24 +282,42 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
         else gvz0
     )
     # Manual partial unroll of the reverse sweep (see BWD_UNROLL): largest
-    # divisor of the static trip count within the cap, 1 for the dynamic
-    # tau-early-exit count.
+    # divisor of the static trip count within the cap. The dynamic
+    # tau-early-exit count from the forward handoff is segment-aligned
+    # (n_active ≡ steps mod EXIT_SEG), so after a rolled prologue of the
+    # static remainder it unrolls by a divisor of EXIT_SEG; the in-kernel
+    # recompute's per-step-granular count stays rolled.
     bwd_init = (gx, gy, gz, gtheta, gvz0, gvz0, gvz0, c0)
     u = 1
+    tail0 = 0
     if isinstance(n_active, int) and n_active > 0:
         u = max(
             d
             for d in range(1, min(BWD_UNROLL, n_active) + 1)
             if n_active % d == 0
         )
+    elif use_hist and tau != 0.0:
+        from ray_marching_tpu.ops.pallas_render import EXIT_SEG
+
+        tail0 = steps % EXIT_SEG
+        u = max(
+            d
+            for d in range(1, min(BWD_UNROLL, EXIT_SEG) + 1)
+            if EXIT_SEG % d == 0
+        )
     if u > 1:
+        carry = (
+            lax.fori_loop(0, tail0, bwd_body, bwd_init) if tail0
+            else bwd_init
+        )
+
         def bwd_body_u(jj, carry):
             for k in range(u):
-                carry = bwd_body(jj * u + k, carry)
+                carry = bwd_body(tail0 + jj * u + k, carry)
             return carry
 
         gx, gy, gz, gtheta, gvx, gvy, gvz, _ = lax.fori_loop(
-            0, n_active // u, bwd_body_u, bwd_init
+            0, (n_active - tail0) // u, bwd_body_u, carry
         )
     else:
         gx, gy, gz, gtheta, gvx, gvy, gvz, _ = lax.fori_loop(
@@ -421,7 +449,7 @@ def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
 
 def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
                    normals_eps, interpret, track_min=False, tau=0.0,
-                   hist=None, minf=None, amin=None):
+                   hist=None, minf=None, amin=None, nact=None):
     """Backward of fused_march_normals.
 
     Args:
@@ -435,11 +463,14 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
             scan recompute at ~2.2× the frame time).
         hist: optional (steps+1, 3, rows_padded, 128) march history logged
             by the forward kernel (pallas_render._hist_enabled); when given
-            (tau == 0) the kernel skips its in-kernel forward recompute —
+            the kernel skips its in-kernel forward recompute — up to
             ``steps`` fewer SDF evaluations per ray, bitwise-identical
             gradients. With ``track_min`` the handoff additionally needs
             ``minf`` (the forward's masked min_f plane, (rows, 128)) and
-            ``amin`` (its arg-min step plane, int32, padded rows).
+            ``amin`` (its arg-min step plane, int32, padded rows); with
+            tau > 0 it needs ``nact`` (the per-tile exit step broadcast
+            over an int32 plane, padded rows — the reverse sweep then stops
+            there, and the segment-aligned count lets it partially unroll).
 
     Returns:
         (flat_params_cot (P,), rays7_cot (7, rows, 128)).
@@ -467,7 +498,7 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     use_hist = (
         hist is not None
         and not two_level
-        and tau == 0.0
+        and (tau == 0.0 or (nact is not None and not track_min))
         and (not track_min or (minf is not None and amin is not None))
     )
     if two_level:
@@ -531,6 +562,11 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
                 minf = jnp.pad(minf, ((0, pad), (0, 0)), mode="edge")
             in_specs += [plane_spec, plane_spec]
             operands += [minf, amin]
+        if tau != 0.0:
+            # The per-tile exit step, broadcast over an int32 plane (same
+            # padded rows as hist — guaranteed by the hist shape check).
+            in_specs.append(plane_spec)
+            operands.append(nact)
     plane_out = jax.ShapeDtypeStruct((rows + pad, LANES), dtype)
     outs = pl.pallas_call(
         kernel,

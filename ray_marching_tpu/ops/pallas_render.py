@@ -73,11 +73,14 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
     :func:`ray_marching_tpu.render.march.march_with_closest`: the min spans
     the ``steps`` pre-step evaluations, not the terminal one).
 
-    With ``hist_ref`` (a (steps+1, 3, tile, 128) output ref; tau == 0 only)
-    every pre-step position plus the terminal position is logged — the
-    fused backward kernel then skips its in-kernel forward recompute and
-    reads this history instead (bitwise-identical trajectories, the same
-    elementwise op sequence either way).
+    With ``hist_ref`` (a (steps+1, 3, tile, 128) output ref) every pre-step
+    position plus the terminal position is logged — the fused backward
+    kernel then skips its in-kernel forward recompute and reads this
+    history instead (bitwise-identical trajectories, the same elementwise
+    op sequence either way). For tau > 0 (``track_min`` excluded) the
+    early-exit march logs at dynamic step indices up to its exit step and
+    additionally returns that step count, so the backward knows how much
+    of the fixed-shape history is live.
 
     track_min at tau == 0 also tracks the FIRST step attaining the min
     (strict-inequality updates, the fused backward's tie convention) and
@@ -139,6 +142,10 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
         # loop check 1/EXIT_SEG as often. Frozen rays re-evaluate an
         # unchanged position, so neither the per-step mask, the early
         # exit, nor the always-run masked tail changes any result.
+        assert not (track_min and hist_ref is not None), (
+            "tau > 0 history handoff excludes the coverage plane"
+        )
+
         def masked_step(x, y, z, minf, argpos):
             d = sdf_c(params, x, y, z)
             if track_min:
@@ -168,15 +175,31 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
 
         def body(carry):
             s, x, y, z, minf, argpos, _ = carry
-            for _ in range(EXIT_SEG):
+            for k in range(EXIT_SEG):
+                if hist_ref is not None:
+                    hist_ref[s * EXIT_SEG + k, 0] = x
+                    hist_ref[s * EXIT_SEG + k, 1] = y
+                    hist_ref[s * EXIT_SEG + k, 2] = z
                 x, y, z, minf, argpos, live = masked_step(x, y, z, minf, argpos)
             return (s + 1, x, y, z, minf, argpos, jnp.any(live))
 
-        _, x, y, z, minf, argpos, _ = lax.while_loop(
+        s_end, x, y, z, minf, argpos, _ = lax.while_loop(
             cond, body, (jnp.int32(0), x, y, z, minf, argpos, jnp.bool_(True))
         )
-        for _ in range(tail):
+        for t in range(tail):
+            if hist_ref is not None:
+                hist_ref[s_end * EXIT_SEG + t, 0] = x
+                hist_ref[s_end * EXIT_SEG + t, 1] = y
+                hist_ref[s_end * EXIT_SEG + t, 2] = z
             x, y, z, minf, argpos, _ = masked_step(x, y, z, minf, argpos)
+        if hist_ref is not None:
+            # Terminal position at the static tail slot; planes between the
+            # live count and `steps` stay unwritten (the backward never
+            # reads past its handed-over step count).
+            hist_ref[steps, 0] = x
+            hist_ref[steps, 1] = y
+            hist_ref[steps, 2] = z
+            return x, y, z, s_end * EXIT_SEG + tail
 
     if track_min:  # tau > 0: no amin (dynamic-length march, no handoff)
         return x, y, z, minf, None, argpos
@@ -201,11 +224,21 @@ def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
         else None
     )
     hist_ref = extra.pop(0) if log_hist else None
+    # tau > 0: the per-tile exit step (how much of the history is live),
+    # broadcast over an int32 plane — Mosaic has no per-grid-step SMEM
+    # scalar outputs, and the plane is noise next to the history itself.
+    nact_ref = extra.pop(0) if (log_hist and tau != 0.0) else None
 
     marched = _march_tile(
         sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
         track_min=track_min, hist_ref=hist_ref, track_argpos=track_argpos,
     )
+    if nact_ref is not None:
+        x, y, z, n_act = marched
+        nact_ref[:] = jnp.full(
+            nact_ref.shape, lax.convert_element_type(n_act, jnp.int32)
+        )
+        marched = (x, y, z)
     if track_min:
         x, y, z, minf, amin, argpos = marched
         # Invalid (pad) slots never march; park their min at +big so the
@@ -291,6 +324,16 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
         out_shapes.append(
             jax.ShapeDtypeStruct((steps + 1, 3, rows + pad, LANES), dtype)
         )
+        if tau != 0.0:
+            if track_min:
+                raise NotImplementedError(
+                    "tau > 0 history handoff excludes the coverage plane"
+                )
+            # Per-tile exit step: how many history planes are live.
+            out_specs.append(plane_spec)
+            out_shapes.append(
+                jax.ShapeDtypeStruct((rows + pad, LANES), jnp.int32)
+            )
     outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -306,8 +349,10 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
             else None
         ),
     )(flat_params[None, :], *[rays7[i] for i in range(7)])
-    hist = amin = argpos = None
+    hist = amin = argpos = nact = None
     outs = list(outs)
+    if log_hist and tau != 0.0:
+        nact = outs.pop()
     if log_hist:
         hist = outs.pop()
     if track_argpos and track_min:
@@ -319,7 +364,7 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
     out = jnp.stack(outs, axis=0)
     out = out[:, :rows] if pad else out
     if log_hist or track_argpos:
-        return out, hist, amin, argpos
+        return out, hist, amin, argpos, nact
     return out
 
 
@@ -392,15 +437,20 @@ def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7,
     return jnp.stack(planes, axis=0)
 
 
-def _hist_enabled(rays7, steps, tau):
+def _hist_enabled(rays7, steps, tau, track_min=False):
     """Whether the differentiated forward should log its march history for
     the backward kernel (skips the backward's in-kernel forward recompute;
-    bitwise-identical gradients). Off for tau > 0 (the early-exit forward
-    has no fixed history length) and above a size cap (the history is
-    (steps+1)·3 HBM planes — 796 MB at 1080p/32 steps/f32)."""
+    bitwise-identical gradients). For tau > 0 the early-exit forward logs
+    into the same fixed-shape buffer up to its per-tile exit step and hands
+    that step count over as an SMEM scalar — except with a coverage plane
+    (track_min), whose min-chain cotangent splitting needs every step. Off
+    above a size cap (the history is (steps+1)·3 HBM planes — 796 MB at
+    1080p/32 steps/f32)."""
     import os
 
-    if tau != 0.0 or os.environ.get("RM_TPU_BWD_HIST", "1") != "1":
+    if os.environ.get("RM_TPU_BWD_HIST", "1") != "1":
+        return False
+    if tau != 0.0 and track_min:
         return False
     # Default cap 4 GiB: admits 4K × 32 steps × f32 (3.3 GB — measured
     # 46.6 → 38.4 ms fwd+bwd, the handoff still wins with the history in
@@ -415,28 +465,29 @@ def _hist_enabled(rays7, steps, tau):
 def _fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
          interpret):
     if _hist_enabled(rays7, steps, tau):
-        out, hist, _, _ = _call_render_kernel(
+        out, hist, _, _, nact = _call_render_kernel(
             sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
             interpret, False, log_hist=True,
         )
     else:
-        out, hist = (
+        out, hist, nact = (
             fused_march_normals(
                 sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
                 interpret,
             ),
             None,
+            None,
         )
-    return out, (flat_params, rays7, hist)
+    return out, (flat_params, rays7, hist, nact)
 
 
 def _bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
-    flat_params, rays7, hist = residuals
+    flat_params, rays7, hist, nact = residuals
     from ray_marching_tpu.ops.pallas_backward import fused_backward
 
     return fused_backward(
         sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
-        interpret, tau=tau, hist=hist,
+        interpret, tau=tau, hist=hist, nact=nact,
     )
 
 
@@ -445,8 +496,8 @@ fused_march_normals.defvjp(_fwd, _bwd)
 
 def _fwd_cov(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
              interpret):
-    if _hist_enabled(rays7, steps, tau):
-        out, hist, amin, _ = _call_render_kernel(
+    if _hist_enabled(rays7, steps, tau, track_min=True):
+        out, hist, amin, _, _ = _call_render_kernel(
             sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
             interpret, True, log_hist=True,
         )
@@ -588,7 +639,7 @@ def fused_march_normals_cov_ift(sdf_c, unravel, flat_params, rays7, steps,
 
 def _cov_ift_fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
                  interpret, hit_threshold, denom_eps):
-    out, _, _, argpos = _call_render_kernel(
+    out, _, _, argpos, _ = _call_render_kernel(
         sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
         interpret, True, track_argpos=True,
     )

@@ -487,6 +487,41 @@ def test_hist_handoff_backward_bitwise(monkeypatch, steps, w, h):
         )
 
 
+@pytest.mark.parametrize("steps,w,h", [(19, 96, 64), (16, 192, 96)])
+def test_hist_handoff_tau_backward_bitwise(monkeypatch, steps, w, h):
+    """tau > 0 history handoff: the early-exit forward logs its march
+    history up to the per-tile exit step (dynamic-index stores) and hands
+    the step count over as an int32 plane; the fused backward skips its
+    recompute and runs a segment-aligned partially-unrolled reverse sweep.
+    Must be bitwise identical to the in-kernel-recompute path. steps=19
+    exercises the EXIT_SEG tail prologue; 192×96 the padded-tile path."""
+    cfg = RenderConfig(
+        px_width=w, px_height=h,
+        focal_length=PX * h, sensor_width=PX * w, sensor_height=PX * h,
+        marching_steps=steps, tau=1e-3,
+    )
+    node = registry.make_scene("test_scene2")
+    f = FastRenderer(node, cfg, dtype=jnp.float32, interpret=True)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float32)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float32)
+    rng = np.random.default_rng(7)
+    wgt = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+
+    def loss(params):
+        return jnp.sum(f.render(params, q, t, mode=0, degree=2) * wgt)
+
+    monkeypatch.setenv("RM_TPU_BWD_HIST", "1")
+    g1 = param_paths(jax.grad(loss)(f.init_params))
+    monkeypatch.setenv("RM_TPU_BWD_HIST", "0")
+    g2 = param_paths(jax.grad(loss)(f.init_params))
+    assert set(g1) == set(g2)
+    for k in g1:
+        np.testing.assert_array_equal(
+            np.asarray(g1[k]), np.asarray(g2[k]), err_msg=k
+        )
+
+
 def test_hist_handoff_coverage_backward_bitwise(monkeypatch):
     """Coverage (render_with_alpha) handoff: the forward kernel hands over
     history + min_f + arg-min step; the backward's min_f cotangent routing
