@@ -90,6 +90,11 @@ MAX_UNROLL_STEPS = 64
 # 8 min (round 1); with the march-history handoff the sweep-only body stays
 # compileable (~20-30 s) at every factor.
 BWD_UNROLL = 8
+# Trace-time record of the most recent fused_backward configuration —
+# which path actually ran (handoff vs recompute vs two-level) is decided
+# by shape/env checks that can silently flip, so tools/tests read this
+# instead of guessing (tools/bwd_tile_sweep.py labels its rows with it).
+LAST_PATH: dict = {}
 
 
 def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
@@ -517,6 +522,19 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
         # count; only usable if it matches this kernel's padding.
         if use_hist and hist.shape[2] != rows + (-rows % tile):
             use_hist = False
+        if use_hist and tau != 0.0:
+            from ray_marching_tpu.ops.pallas_render import (
+                DEFAULT_ROWS_PER_TILE,
+            )
+
+            # The exit-step plane is constant per FORWARD tile, and history
+            # planes past a forward tile's exit step are unwritten. A
+            # backward tile spanning several forward tiles would apply
+            # tile 0's exit step to rows whose history stops earlier —
+            # only safe when each backward tile sits inside one forward
+            # tile.
+            if min(DEFAULT_ROWS_PER_TILE, rows) % tile != 0:
+                use_hist = False
         kernel = functools.partial(
             _bwd_kernel, sdf_c, unravel, steps, tau, normals_eps, offsets,
             inverse, track_min, use_hist,
@@ -524,6 +542,11 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
         scratch = [] if use_hist else [
             pltpu.VMEM((steps, 3, tile, LANES), dtype)
         ]
+    LAST_PATH.clear()
+    LAST_PATH.update(
+        use_hist=use_hist, two_level=two_level, tau=tau, tile=tile,
+        track_min=track_min,
+    )
     # Pad rows to a tile multiple: rays edge-replicated (zero rays would sit
     # at the world origin — a gradient singularity for scenes with a
     # primitive centred there), cotangents zero — so pad rows recompute a

@@ -55,8 +55,10 @@ class RenderConfig:
     ift_hit_threshold: float = 0.05
     ift_denom_eps: float = 1e-6
     # Soft-silhouette sharpness for render_with_alpha / silhouette-aware
-    # inverse rendering: α = σ(−min_f/β). Smaller = sharper mask, narrower
-    # gradient band around the silhouette.
+    # inverse rendering: α = σ(shift − min_f/β) with shift = 4 (see
+    # silhouette.soft_coverage — the shift puts hits, min_f → 0⁺, on the
+    # saturated side: α ≈ 0.98, not 0.5). Smaller β = sharper mask,
+    # narrower gradient band around the silhouette.
     silhouette_beta: float = 5e-2
     reflection_bounces: int = 0
     use_autodiff_normals: bool = False

@@ -94,20 +94,35 @@ class RenderServer:
                     elif url.path == "/render":
                         qs = parse_qs(url.query)
                         pose = qs.get("pose", ["1,0,0,0/0,0,0"])[0]
-                        png = server.render_png(pose)
+                        try:  # malformed pose strings are the caller's fault
+                            q, t = _parse_pose(pose, server.dtype)
+                        except (ValueError, IndexError) as exc:
+                            self._send(400, str(exc).encode(), "text/plain")
+                            return
+                        png = server.render_png_arrays(q, t)
                         self._send(200, png, "image/png")
                     else:
                         self._send(404, b"not found", "text/plain")
-                except Exception as exc:  # bad pose, shape mismatch, ...
-                    self._send(400, str(exc).encode(), "text/plain")
+                except OSError:
+                    # Socket already broken (client gone mid-response) —
+                    # nothing sensible left to write.
+                    pass
+                except Exception as exc:  # device/handler failure: ours
+                    try:
+                        self._send(500, str(exc).encode(), "text/plain")
+                    except OSError:
+                        pass
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
 
     def render_png(self, pose: str) -> bytes:
+        q, t = _parse_pose(pose, self.dtype)
+        return self.render_png_arrays(q, t)
+
+    def render_png_arrays(self, q, t) -> bytes:
         import jax.numpy as jnp
 
-        q, t = _parse_pose(pose, self.dtype)
         n = self.meta["num_cameras"]
         if n > 1:
             q = jnp.concatenate([q] * n, axis=0)

@@ -550,3 +550,42 @@ def test_hist_handoff_coverage_backward_bitwise(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(g1[k]), np.asarray(g2[k]), err_msg=k
         )
+
+
+def test_tau_handoff_disabled_when_bwd_tile_spans_fwd_tiles(monkeypatch):
+    """The tau>0 exit-step plane is constant per FORWARD (128-row) tile and
+    history planes past a tile's exit step are unwritten, so a backward
+    tile spanning several forward tiles must NOT use the handoff (it would
+    apply tile 0's exit step to rows whose history stops earlier). With
+    rows divisible by the larger backward tile the padded-row check alone
+    passes — the divisibility guard must trip, and gradients must still be
+    bitwise equal to the recompute path."""
+    from ray_marching_tpu.ops import pallas_backward as pb
+
+    w, h = 512, 64  # 256 plane rows: divisible by a 256-row backward tile
+    cfg = RenderConfig(
+        px_width=w, px_height=h,
+        focal_length=PX * h, sensor_width=PX * w, sensor_height=PX * h,
+        marching_steps=16, tau=1e-3,
+    )
+    f = FastRenderer(registry.make_scene("test_scene2"), cfg,
+                     dtype=jnp.float32, interpret=True)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float32)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float32)
+    rng = np.random.default_rng(11)
+    wgt = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+
+    def loss(params):
+        return jnp.sum(f.render(params, q, t, mode=0, degree=2) * wgt)
+
+    monkeypatch.setattr(pb, "BWD_ROWS_PER_TILE", 256)
+    monkeypatch.setenv("RM_TPU_BWD_HIST", "1")
+    g1 = param_paths(jax.grad(loss)(f.init_params))
+    assert pb.LAST_PATH["use_hist"] is False  # guard tripped
+    monkeypatch.setenv("RM_TPU_BWD_HIST", "0")
+    g2 = param_paths(jax.grad(loss)(f.init_params))
+    for k in g1:
+        np.testing.assert_array_equal(
+            np.asarray(g1[k]), np.asarray(g2[k]), err_msg=k
+        )

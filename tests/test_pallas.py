@@ -124,3 +124,44 @@ def test_pipeline_use_pallas_flag():
         )
     finally:
         pm.pallas_march = orig
+
+
+def test_mega_kernel_matches_reference_fn():
+    """pallas_render._reference_fn is the in-repo jnp spec of the
+    mega-kernel's math (march + terminal + normals + laplacian [+ min_f]);
+    the kernel must reproduce it plane-for-plane across tau and coverage
+    variants. Keeps the spec function honest (it has no production
+    caller)."""
+    from jax.flatten_util import ravel_pytree
+
+    from ray_marching_tpu.ops.pallas_render import (
+        _call_render_kernel,
+        _reference_fn,
+    )
+
+    _, sdf_c, params, p0, v = setup(dtype=jnp.float64, shape=(256,))
+    flat, unravel = ravel_pytree(params)
+    rows = 2
+    rays7 = jnp.stack(
+        [
+            p0[..., 0].reshape(rows, 128),
+            p0[..., 1].reshape(rows, 128),
+            p0[..., 2].reshape(rows, 128),
+            v[..., 0].reshape(rows, 128),
+            v[..., 1].reshape(rows, 128),
+            v[..., 2].reshape(rows, 128),
+            jnp.ones((rows, 128), jnp.float64),
+        ],
+        axis=0,
+    )
+    for tau, track_min in [(0.0, False), (0.0, True), (1e-3, False)]:
+        got = _call_render_kernel(
+            sdf_c, unravel, flat, rays7, 12, tau, 5e-2, True, track_min
+        )
+        want = _reference_fn(
+            sdf_c, unravel, 12, tau, 5e-2, flat, rays7, track_min=track_min
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-10, atol=1e-12,
+            err_msg=f"tau={tau} track_min={track_min}",
+        )

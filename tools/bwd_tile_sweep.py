@@ -45,8 +45,17 @@ def run(spec):
         print(f"{spec}: FAILED {type(exc).__name__}: {str(exc)[:300]}")
         return
     mrays = 1920 * 1080 / dt / 1e6
+    # Label which backward actually ran: tile sizes whose padded rows
+    # mismatch the forward's silently fall back to the in-kernel recompute
+    # (no history handoff) — without this tag those rows would compare
+    # handoff-vs-recompute instead of tile sizes.
+    path = (
+        "2l" if pb.LAST_PATH.get("two_level")
+        else "hist" if pb.LAST_PATH.get("use_hist")
+        else "recompute"
+    )
     print(
-        f"{spec}: {dt * 1e3:.2f} ms/frame  {mrays:.1f} Mrays/s"
+        f"{spec}: {dt * 1e3:.2f} ms/frame  {mrays:.1f} Mrays/s  [{path}]"
         f"  (compile+warmup {compile_s:.0f}s)"
     )
     jax.clear_caches()
