@@ -291,3 +291,50 @@ def test_multi_camera_sharded_rejects_bad_device_count():
     mesh = make_mesh((8,), ("rays",))
     with pytest.raises(ValueError, match="multiple of the camera count"):
         fs.fast_shard_render(f, mesh, mode=0)
+
+
+def test_sharded_fast_tau_early_exit_matches_single_device():
+    """tau > 0 under shard_map: the per-tile segment-cadence exit and the
+    tau history handoff are per-shard-local (tile partitioning changes with
+    the shard size but frozen rays re-evaluate unchanged positions, so
+    values are partition-independent); render and train must match the
+    single-device fast path. f64 keeps divergent-ray chaos out of the
+    comparison."""
+    cfg = RenderConfig(
+        px_width=96, px_height=64,
+        focal_length=PX * 64, sensor_width=PX * 96, sensor_height=PX * 64,
+        marching_steps=16, tau=1e-3,
+    )
+    f = FastRenderer(registry.make_scene("test_scene2"), cfg,
+                     dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True, row_multiple=64)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float64)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float64)
+    mesh = make_mesh((8,), ("rays",))
+    for mode in (0, 1):
+        sharded = np.asarray(
+            fs.fast_shard_render(f, mesh, mode=mode, degree=2)(
+                f.init_params, q, t
+            )
+        )
+        local = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=2))
+        np.testing.assert_allclose(sharded, local, rtol=1e-9, atol=1e-11,
+                                   equal_nan=True, err_msg=f"mode {mode}")
+
+    # Gradients through the sharded fused backward with the tau freeze mask.
+    opt = optax.adam(1e-2)
+    step = fs.fast_train_step(f, mesh, opt, mode=0, degree=2)
+    tgt = fs.target_planes(
+        f, mesh, f.render(f.init_params, q, t, mode=0, degree=2) * 0.9
+    )
+    params, _, loss = step(f.init_params, opt.init(f.init_params), tgt, q, t)
+    assert np.isfinite(float(loss))
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(f.init_params),
+        )
+    )
+    assert moved
