@@ -15,6 +15,7 @@ from ray_marching_tpu.scene.graph import compile_scene
 from ray_marching_tpu.scene.serialize import load_scene, save_scene
 from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
 from ray_marching_tpu.render.fast import FastRenderer
+from ray_marching_tpu.render.tiled import TiledRenderer
 
 __version__ = "0.1.0"
 
@@ -29,4 +30,5 @@ __all__ = [
     "Renderer",
     "RenderConfig",
     "FastRenderer",
+    "TiledRenderer",
 ]

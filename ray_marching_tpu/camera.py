@@ -55,17 +55,28 @@ class CameraConfig:
         )
 
 
-def _pixel_center_grid(cfg: CameraConfig, grid_dtype) -> Tuple[np.ndarray, np.ndarray]:
+def _pixel_center_grid(cfg: CameraConfig, grid_dtype,
+                       row_range: Tuple[int, int] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Sensor-plane pixel positions and unit ray directions, shape (H, W, 3).
 
     Computed in numpy at setup time (host constants, like the reference's
-    registered buffers)."""
+    registered buffers). ``row_range=(r0, r1)`` generates only those pixel
+    rows of the full-image grid (same NDC math over the full height) — the
+    tiled renderer builds strips this way without materializing giant
+    grids; rows past the image height extrapolate the same formula (the
+    caller masks/crops them)."""
     w, h = cfg.px_width, cfg.px_height
     xs = (2.0 * np.arange(w, dtype=grid_dtype) + 1.0) / w - 1.0
-    ys = (2.0 * np.arange(h, dtype=grid_dtype) + 1.0) / h - 1.0
+    rows = (
+        np.arange(h, dtype=grid_dtype)
+        if row_range is None
+        else np.arange(row_range[0], row_range[1], dtype=grid_dtype)
+    )
+    ys = (2.0 * rows + 1.0) / h - 1.0
     px = np.asarray(cfg.sensor_width / 2.0, dtype=grid_dtype) * xs
     py = np.asarray(-cfg.sensor_height / 2.0, dtype=grid_dtype) * ys
-    positions = np.zeros((h, w, 3), dtype=grid_dtype)
+    positions = np.zeros((len(ys), w, 3), dtype=grid_dtype)
     positions[:, :, 0] = px[None, :]
     positions[:, :, 1] = py[:, None]
     focus = np.asarray([0.0, 0.0, -cfg.focal_length], dtype=grid_dtype)

@@ -102,6 +102,12 @@ def _build_renderer(args):
         scene = load_scene(args.scene_file)
     else:
         scene = registry.make_scene(args.scene)
+    if getattr(args, "strip_height", None):
+        from ray_marching_tpu.render.tiled import TiledRenderer
+
+        return TiledRenderer(scene, cfg, strip_height=args.strip_height,
+                             dtype=getattr(jnp, args.dtype),
+                             grid_dtype=grid_dtype)
     if getattr(args, "fast", False):
         from ray_marching_tpu.render.fast import FastRenderer
 
@@ -367,6 +373,10 @@ def main(argv=None):
     p.add_argument("--mode", default="lambertian",
                    help="shader name or index (0..7)")
     p.add_argument("-o", "--out", default="render.png")
+    p.add_argument("--strip-height", type=int, default=None, metavar="ROWS",
+                   help="render in horizontal strips of this many pixel "
+                        "rows (two-pass global normalizations) — images "
+                        "bigger than one device pass, e.g. 8K/16K posters")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("gallery", help="render all 8 shader modes")

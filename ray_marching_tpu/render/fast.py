@@ -177,11 +177,42 @@ class FastRenderer:
             return prmax(filled, tuple(axis_names))
         return rmax(filled)
 
-    def _log_minmax_norm(self, dists, valid_b=None, axis_names=()):
+    def _log_minmax_norm(self, dists, valid_b=None, axis_names=(),
+                         bounds=None):
         log_d = jnp.log(clamp(dists, 1e-2))
-        lo = self._masked_min(log_d, valid_b, axis_names)
-        hi = self._masked_max(log_d, valid_b, axis_names)
+        if bounds is not None:  # precomputed whole-image bounds (tiled)
+            lo, hi = bounds
+        else:
+            lo = self._masked_min(log_d, valid_b, axis_names)
+            hi = self._masked_max(log_d, valid_b, axis_names)
         return ((log_d - lo) / (hi - lo)) ** (1.0 / 2.33)
+
+    def norm_bounds(self, mode, origin, hit, valid_b=None):
+        """(lo, hi) of ``mode``'s whole-image normalization statistic over
+        this renderer's rays — pass 1 of two-pass tiled rendering, where
+        the reference's whole-image min/max (shader.py:34-37,51-54,83-84)
+        must span ALL strips before any strip can shade. Same formulas as
+        the corresponding `_shade` branches; pinned by the tiled-vs-full
+        parity tests. Modes without a global normalization return (0, 1)
+        dummies."""
+        x, y, z, d = hit[0], hit[1], hit[2], hit[3]
+        lap = hit[7]
+        name = shaders.MODES[mode % len(shaders.MODES)]
+        if name == "distance":
+            ox, oy, oz = origin
+            dist = jnp.sqrt((ox - x) ** 2 + (oy - y) ** 2 + (oz - z) ** 2)
+            raw = jnp.log(clamp(dist, 1e-2))
+        elif name == "proximity":
+            raw = jnp.log(clamp(d, 1e-2))
+        elif name == "laplacian":
+            raw = jnp.abs(lap)
+        else:
+            zero = jnp.zeros((), x.dtype)
+            return zero, zero + 1.0
+        return (
+            self._masked_min(raw, valid_b),
+            self._masked_max(raw, valid_b),
+        )
 
     def _angle_colouring(self, real, imag, degree):
         if self.cmap_coeffs is not None:  # gather-free Fourier evaluation
@@ -204,13 +235,15 @@ class FastRenderer:
         return [brightness * c for c in cols]
 
     def _shade(self, mode, degree, orientation, origin, dirs, hit,
-               valid_b=None, axis_names=(), cameras=None):
+               valid_b=None, axis_names=(), cameras=None, norm_bounds=None):
         """Componentwise shaders on planes; returns [r, g, b] planes.
 
         ``valid_b``/``axis_names`` override the global-normalization mask
         for sharded row shards (inside ``shard_map``); ``cameras``
         overrides the camera count (a shard is always one camera — pass 1
-        with that camera's ``orientation`` row)."""
+        with that camera's ``orientation`` row). ``norm_bounds`` replaces
+        the in-batch global min/max with precomputed whole-image bounds
+        (:meth:`norm_bounds` — tiled rendering's pass 2)."""
         x, y, z, d, nx, ny, nz, lap = hit
         dx, dy, dz = dirs
         name = shaders.MODES[mode % len(shaders.MODES)]
@@ -220,10 +253,10 @@ class FastRenderer:
         if name == "distance":
             ox, oy, oz = origin
             dist = jnp.sqrt((ox - x) ** 2 + (oy - y) ** 2 + (oz - z) ** 2)
-            v = self._log_minmax_norm(dist, valid_b, axis_names)
+            v = self._log_minmax_norm(dist, valid_b, axis_names, norm_bounds)
             return [v, v, v]
         if name == "proximity":
-            v = self._log_minmax_norm(d, valid_b, axis_names)
+            v = self._log_minmax_norm(d, valid_b, axis_names, norm_bounds)
             return [v, v, v]
         if name == "vignette":
             def vignette_cam(n, dirs_n):
@@ -239,7 +272,11 @@ class FastRenderer:
         if name == "normal":
             return [clamp(jnp.abs(c), 0.0, 1.0) for c in (nx, ny, nz)]
         if name == "laplacian":
-            hi = self._masked_max(jnp.abs(lap), valid_b, axis_names)
+            hi = (
+                norm_bounds[1]
+                if norm_bounds is not None
+                else self._masked_max(jnp.abs(lap), valid_b, axis_names)
+            )
             v = clamp((1.0 - lap / hi) / 2.0, 0.0, 1.0) ** (1.0 / 2.33)
             return [v, v, v]
         if name == "tangent":

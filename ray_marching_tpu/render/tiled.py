@@ -1,0 +1,181 @@
+"""Tiled (strip) rendering: images larger than one device pass.
+
+Renders arbitrarily large single-camera frames by marching horizontal
+pixel strips through the fused mega-kernel and assembling on the host —
+device memory and compile size are bounded by the strip, not the image
+(motivation measured in docs/PERFORMANCE.md: an 8K frame exceeds this
+environment's compile-request limit as one pass, and a 16K×16K ray grid
+alone would dwarf HBM).
+
+The reference semantics complication is the whole-image min/max
+normalization in the distance/proximity/laplacian shaders (reference
+rendering/shader.py:34-37,51-54,83-84): a strip cannot normalize by its
+own extrema. Those modes run TWO passes — pass 1 marches every strip and
+reduces its normalization statistic (`FastRenderer.norm_bounds`), the
+host merges the per-strip bounds, pass 2 re-marches and shades with the
+merged bounds (`_shade(..., norm_bounds=...)`). Re-marching costs one
+extra forward (march ≪ transfer for remote TPUs; hit planes never cross
+the host link). Modes without a global normalization shade in one pass.
+
+Forward-only by design: this is the poster/dataset/serving path. For
+gradients at large resolutions use the sharded fast path
+(parallel/fast_sharding.py) on more chips instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_marching_tpu import quat
+from ray_marching_tpu.camera import _pixel_center_grid
+from ray_marching_tpu.render import shaders
+from ray_marching_tpu.render.fast import LANES, FastRenderer, _to_planes
+from ray_marching_tpu.render.pipeline import RenderConfig
+from ray_marching_tpu.scene.graph import Node
+
+TWO_PASS_MODES = frozenset({"distance", "proximity", "laplacian"})
+
+
+class TiledRenderer:
+    """Strip-at-a-time renderer over the fused-kernel fast path.
+
+    One :class:`FastRenderer` sized to ``(px_width, strip_height)`` does
+    all device work; strips differ only in their (host-generated) camera
+    plane arguments, so each (mode, degree) traces exactly two jitted
+    callables regardless of image size. The last strip's rows past the
+    image height extrapolate the pixel grid and are masked out of the
+    normalization statistics and cropped from the output.
+    """
+
+    def __init__(self, scene: Node, config: RenderConfig, *,
+                 strip_height: int = 512, dtype=jnp.float32,
+                 grid_dtype=np.float32, interpret: Optional[bool] = None):
+        if config.num_cameras != 1:
+            raise ValueError("TiledRenderer supports a single camera")
+        self.config = config
+        self.strip_height = min(strip_height, config.px_height)
+        self.grid_dtype = grid_dtype
+        strip_cfg = dataclasses.replace(config, px_height=self.strip_height)
+        self.fast = FastRenderer(scene, strip_cfg, dtype=dtype,
+                                 grid_dtype=grid_dtype, interpret=interpret)
+        self.dtype = dtype
+        self.init_params = self.fast.init_params
+        self.num_strips = -(-config.px_height // self.strip_height)
+        self._fns = {}  # (mode, degree) -> (stats_fn, shade_fn)
+
+    # -- per-strip host-side constants --------------------------------------
+
+    def _strip_planes(self, s: int):
+        cfg = self.config
+        fast = self.fast
+        r0 = s * self.strip_height
+        pos, dirs = _pixel_center_grid(
+            cfg.camera_config, self.grid_dtype,
+            row_range=(r0, r0 + self.strip_height),
+        )
+        pos0 = tuple(
+            jnp.asarray(
+                _to_planes(pos[..., i].reshape(-1), fast.rows_per_cam),
+                self.dtype,
+            )
+            for i in range(3)
+        )
+        dir0 = tuple(
+            jnp.asarray(
+                _to_planes(dirs[..., i].reshape(-1), fast.rows_per_cam),
+                self.dtype,
+            )
+            for i in range(3)
+        )
+        # Extrapolated rows of the last strip are invalid: masked out of
+        # the pass-1 statistics and the pad slots of every plane.
+        n_real = max(0, min(self.strip_height, cfg.px_height - r0)) * cfg.px_width
+        valid = np.zeros((fast.rows_per_cam * LANES,), np.float32)
+        valid[:n_real] = 1.0
+        valid = jnp.asarray(
+            valid.reshape(fast.rows_per_cam, LANES), self.dtype
+        )
+        return pos0, dir0, valid, min(self.strip_height, cfg.px_height - r0)
+
+    # -- traced per-strip passes ---------------------------------------------
+
+    def _get_fns(self, mode: int, degree: int):
+        key = (mode, degree)
+        if key in self._fns:
+            return self._fns[key]
+        fast = self.fast
+        steps = self.config.marching_steps
+
+        def march(params, q, t, pos0, dir0, valid):
+            qw, qx, qy, qz = (q[0, i] for i in range(4))
+            px, py, pz = quat.rotate_c(qw, qx, qy, qz, *pos0)
+            origin = (px + t[0, 0], py + t[0, 1], pz + t[0, 2])
+            dirs = quat.rotate_c(qw, qx, qy, qz, *dir0)
+            hit, final_dirs = fast._march_planes(
+                params, origin, dirs, steps, valid=valid
+            )
+            return origin, final_dirs, hit
+
+        def stats(params, q, t, pos0, dir0, valid):
+            origin, _, hit = march(params, q, t, pos0, dir0, valid)
+            return fast.norm_bounds(mode, origin, hit, valid_b=valid > 0.5)
+
+        def shade(params, q, t, pos0, dir0, valid, bounds):
+            origin, dirs, hit = march(params, q, t, pos0, dir0, valid)
+            channels = fast._shade(
+                mode, degree, q, origin, dirs, hit, valid_b=valid > 0.5,
+                norm_bounds=bounds,
+            )
+            return fast._assemble(channels)
+
+        fns = (jax.jit(stats), jax.jit(shade))
+        self._fns[key] = fns
+        return fns
+
+    # -- public API ----------------------------------------------------------
+
+    def render(self, params, orientation, translation, *, mode: int = 0,
+               degree: int = 1) -> np.ndarray:
+        """Render one frame strip by strip → host ndarray (1, H, W, 3)."""
+        stats_fn, shade_fn = self._get_fns(mode, degree)
+        name = shaders.MODES[mode % len(shaders.MODES)]
+        two_pass = name in TWO_PASS_MODES
+        q = jnp.asarray(orientation, self.dtype)
+        t = jnp.asarray(translation, self.dtype)
+
+        if two_pass:
+            lo = np.inf
+            hi = -np.inf
+            for s in range(self.num_strips):
+                pos0, dir0, valid, _ = self._strip_planes(s)
+                slo, shi = stats_fn(params, q, t, pos0, dir0, valid)
+                lo = min(lo, float(slo))
+                hi = max(hi, float(shi))
+            bounds = (
+                jnp.asarray(lo, self.dtype), jnp.asarray(hi, self.dtype)
+            )
+        else:
+            zero = jnp.zeros((), self.dtype)
+            bounds = (zero, zero + 1.0)
+
+        strips = []
+        for s in range(self.num_strips):
+            pos0, dir0, valid, rows_real = self._strip_planes(s)
+            img = shade_fn(params, q, t, pos0, dir0, valid, bounds)
+            strips.append(np.asarray(img)[0, :rows_real])
+        return np.concatenate(strips, axis=0)[None]
+
+    def jitted(self, **kwargs):
+        """CLI-compatibility shim: the strip loop is host-side (each strip
+        pass is already jitted internally), so this is a plain partial."""
+        import functools
+
+        return functools.partial(self.render, **kwargs)
+
+    def default_pose(self):
+        return self.fast.default_pose()

@@ -1,0 +1,100 @@
+"""Tiled (strip) rendering: parity with the one-pass fast renderer.
+
+The fast renderer is pinned to the modular pipeline (itself golden-pinned
+to the PyTorch reference), so strip-for-strip agreement here transitively
+pins the two-pass normalization scheme (per-strip stats merged on the
+host, reference rendering/shader.py:34-37,51-54,83-84 semantics) to
+reference math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_marching_tpu.render.fast import FastRenderer
+from ray_marching_tpu.render.pipeline import RenderConfig
+from ray_marching_tpu.render.tiled import TiledRenderer
+from ray_marching_tpu.scene import registry
+
+PX = 3.45e-6
+
+
+def make_pair(w=96, h=64, strip=20, steps=12, **cfg_kw):
+    cfg = RenderConfig(
+        px_width=w, px_height=h,
+        focal_length=PX * h, sensor_width=PX * w, sensor_height=PX * h,
+        marching_steps=steps, **cfg_kw,
+    )
+    node = registry.make_scene("test_scene2")
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    tr = TiledRenderer(node, cfg, strip_height=strip, dtype=jnp.float64,
+                       grid_dtype=np.float64, interpret=True)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float64)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float64)
+    return f, tr, q, t
+
+
+@pytest.mark.parametrize("mode", range(8))
+def test_tiled_matches_full_all_modes(mode):
+    """strip=20 over h=64: 4 strips, the last one 4 rows of extrapolated
+    grid — exercises the crop and the stats masking."""
+    f, tr, q, t = make_pair()
+    a = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=2))
+    b = tr.render(tr.init_params, q, t, mode=mode, degree=2)
+    assert b.shape == a.shape
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11, equal_nan=True)
+
+
+def test_tiled_dividing_strip_and_single_strip():
+    f, tr16, q, t = make_pair(strip=16)
+    tr_all = TiledRenderer(registry.make_scene("test_scene2"), f.config,
+                           strip_height=999, dtype=jnp.float64,
+                           grid_dtype=np.float64, interpret=True)
+    assert tr_all.num_strips == 1
+    for tr in (tr16, tr_all):
+        a = np.asarray(f.render(f.init_params, q, t, mode=1, degree=2))
+        b = tr.render(tr.init_params, q, t, mode=1, degree=2)
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11,
+                                   equal_nan=True)
+
+
+def test_tiled_tau_and_bounces():
+    """Early exit is per-ray and bounces re-march per strip; both must be
+    strip-partition-independent. Bounced grazing rays are chaotic (XLA
+    fuses the host-side mirror formula differently at strip vs full
+    shapes; a 1-ulp direction difference diverges exponentially over the
+    re-march — CLAUDE.md chaos rule), so the bounce case allows a small
+    fraction of such pixels like the golden harness does."""
+    f, tr, q, t = make_pair(strip=24, steps=16, tau=1e-3,
+                            reflection_bounces=1)
+    for mode in (0, 5):
+        a = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=2))
+        b = tr.render(tr.init_params, q, t, mode=mode, degree=2)
+        close = np.isclose(a, b, rtol=1e-9, atol=1e-11, equal_nan=True)
+        assert (~close).mean() < 0.001, f"mode {mode}: {(~close).mean()}"
+
+
+def test_tiled_rejects_multi_camera():
+    cfg = RenderConfig(num_cameras=2, px_width=16, px_height=8,
+                       marching_steps=4)
+    with pytest.raises(ValueError, match="single camera"):
+        TiledRenderer(registry.make_scene("single_sphere"), cfg,
+                      interpret=True)
+
+
+def test_cli_render_strip_height(tmp_path):
+    from ray_marching_tpu.cli import main
+
+    out = tmp_path / "strip.png"
+    main([
+        "render", "--cpu", "--scene", "test_scene2", "--mode", "distance",
+        "--width", "64", "--height", "40", "--steps", "8",
+        "--strip-height", "16", "-o", str(out),
+    ])
+    from PIL import Image
+
+    with Image.open(out) as im:
+        assert im.size == (64, 40)
