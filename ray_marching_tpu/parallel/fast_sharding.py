@@ -85,12 +85,11 @@ def make_channel_fn(fast, mesh: Mesh, *, mode: int = 0, degree: int = 1,
         cam = idx // shards_per_cam
         q = jax.lax.dynamic_slice_in_dim(orientation, cam, 1, axis=0)
         t = jax.lax.dynamic_slice_in_dim(translation, cam, 1, axis=0)
-        qw, qx, qy, qz = (q[0, i] for i in range(4))
-        from ray_marching_tpu import quat
+        from ray_marching_tpu.render.fast import pose_plane_group
 
-        px, py, pz = quat.rotate_c(qw, qx, qy, qz, p0x, p0y, p0z)
-        origin = (px + t[0, 0], py + t[0, 1], pz + t[0, 2])
-        dirs = quat.rotate_c(qw, qx, qy, qz, d0x, d0y, d0z)
+        origin, dirs = pose_plane_group(
+            q, t, (p0x, p0y, p0z), (d0x, d0y, d0z)
+        )
         if with_alpha:
             from ray_marching_tpu.render.silhouette import soft_coverage
 

@@ -51,6 +51,27 @@ def _to_planes(flat: np.ndarray, rows: int) -> np.ndarray:
     return out
 
 
+def bake_ray_planes(positions, directions, rows, dtype):
+    """(H, W, 3) host grids → two triples of (rows, 128) jnp planes."""
+    return tuple(
+        tuple(
+            jnp.asarray(_to_planes(a[..., i].reshape(-1), rows), dtype)
+            for i in range(3)
+        )
+        for a in (positions, directions)
+    )
+
+
+def pose_plane_group(q, t, pos0, dir0):
+    """World-pose one camera's baked planes: rotate by the (1, 4) unit
+    quaternion row, translate positions by the (1, 3) row. Shared by the
+    plain, sharded, and tiled paths. Returns (origin, dirs) triples."""
+    qw, qx, qy, qz = (q[0, i] for i in range(4))
+    px, py, pz = quat.rotate_c(qw, qx, qy, qz, *pos0)
+    origin = (px + t[0, 0], py + t[0, 1], pz + t[0, 2])
+    return origin, quat.rotate_c(qw, qx, qy, qz, *dir0)
+
+
 class FastRenderer:
     """Drop-in fast forward/backward renderer.
 
@@ -89,18 +110,9 @@ class FastRenderer:
         self.rows = self.rows_per_cam * self.num_cameras
 
         positions, directions = _pixel_center_grid(config.camera_config, grid_dtype)
-        self._pos0 = [
-            jnp.asarray(
-                _to_planes(positions[..., i].reshape(-1), self.rows_per_cam), dtype
-            )
-            for i in range(3)
-        ]
-        self._dir0 = [
-            jnp.asarray(
-                _to_planes(directions[..., i].reshape(-1), self.rows_per_cam), dtype
-            )
-            for i in range(3)
-        ]
+        self._pos0, self._dir0 = bake_ray_planes(
+            positions, directions, self.rows_per_cam, dtype
+        )
         valid = np.zeros((self.rows_per_cam * LANES,), np.float32)
         valid[: self.total] = 1.0
         valid = valid.reshape(self.rows_per_cam, LANES)

@@ -31,10 +31,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ray_marching_tpu import quat
 from ray_marching_tpu.camera import _pixel_center_grid
 from ray_marching_tpu.render import shaders
-from ray_marching_tpu.render.fast import LANES, FastRenderer, _to_planes
+from ray_marching_tpu.render.fast import (
+    LANES,
+    FastRenderer,
+    bake_ray_planes,
+    pose_plane_group,
+)
 from ray_marching_tpu.render.pipeline import RenderConfig
 from ray_marching_tpu.scene.graph import Node
 
@@ -78,20 +82,7 @@ class TiledRenderer:
             cfg.camera_config, self.grid_dtype,
             row_range=(r0, r0 + self.strip_height),
         )
-        pos0 = tuple(
-            jnp.asarray(
-                _to_planes(pos[..., i].reshape(-1), fast.rows_per_cam),
-                self.dtype,
-            )
-            for i in range(3)
-        )
-        dir0 = tuple(
-            jnp.asarray(
-                _to_planes(dirs[..., i].reshape(-1), fast.rows_per_cam),
-                self.dtype,
-            )
-            for i in range(3)
-        )
+        pos0, dir0 = bake_ray_planes(pos, dirs, fast.rows_per_cam, self.dtype)
         # Extrapolated rows of the last strip are invalid: masked out of
         # the pass-1 statistics and the pad slots of every plane.
         n_real = max(0, min(self.strip_height, cfg.px_height - r0)) * cfg.px_width
@@ -112,10 +103,7 @@ class TiledRenderer:
         steps = self.config.marching_steps
 
         def march(params, q, t, pos0, dir0, valid):
-            qw, qx, qy, qz = (q[0, i] for i in range(4))
-            px, py, pz = quat.rotate_c(qw, qx, qy, qz, *pos0)
-            origin = (px + t[0, 0], py + t[0, 1], pz + t[0, 2])
-            dirs = quat.rotate_c(qw, qx, qy, qz, *dir0)
+            origin, dirs = pose_plane_group(q, t, pos0, dir0)
             hit, final_dirs = fast._march_planes(
                 params, origin, dirs, steps, valid=valid
             )
