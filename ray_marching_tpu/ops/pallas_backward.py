@@ -97,6 +97,24 @@ BWD_UNROLL = 8
 LAST_PATH: dict = {}
 
 
+def two_level_engages(steps, tau=0.0, track_min=False) -> bool:
+    """Single source of truth for when the RM_TPU_BWD_TWO_LEVEL experiment
+    actually engages — the forward's history-logging decision
+    (pallas_render._hist_enabled) must agree with fused_backward, or a
+    multi-GB history gets materialized and discarded (or withheld, silently
+    dropping to the slow recompute)."""
+    import os
+
+    k = CKPT_INTERVAL
+    return (
+        os.environ.get("RM_TPU_BWD_TWO_LEVEL", "0") == "1"
+        and steps % k == 0
+        and steps >= 2 * k
+        and not track_min  # coverage routing needs the full history
+        and tau == 0.0  # the 2l experiment never grew a tau mask
+    )
+
+
 def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
                 track_min, use_hist,
                 params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
@@ -491,15 +509,7 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     # every tile size once BWD_VMEM_LIMIT_BYTES lifts the scoped-VMEM cap
     # (the segment re-march is pure extra work) — kept only as a memory
     # escape hatch for step counts whose history cannot fit.
-    import os
-
-    two_level = (
-        os.environ.get("RM_TPU_BWD_TWO_LEVEL", "0") == "1"
-        and steps % k == 0
-        and steps >= 2 * k
-        and not track_min  # coverage routing needs the full history
-        and tau == 0.0  # the 2l experiment never grew a tau mask
-    )
+    two_level = two_level_engages(steps, tau, track_min)
     use_hist = (
         hist is not None
         and not two_level

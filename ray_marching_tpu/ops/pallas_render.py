@@ -452,20 +452,13 @@ def _hist_enabled(rays7, steps, tau, track_min=False):
         return False
     if tau != 0.0 and track_min:
         return False
-    if os.environ.get("RM_TPU_BWD_TWO_LEVEL", "0") == "1":
-        # The two-level-recompute backward ignores the handoff (it keeps
-        # segment checkpoints instead); don't materialize a history it
-        # would discard — but only when it actually engages (same
-        # conditions as fused_backward).
-        from ray_marching_tpu.ops.pallas_backward import CKPT_INTERVAL
+    # The two-level-recompute backward ignores the handoff (it keeps
+    # segment checkpoints instead); don't materialize a history it would
+    # discard. Shared predicate — the two sites must agree.
+    from ray_marching_tpu.ops.pallas_backward import two_level_engages
 
-        if (
-            steps % CKPT_INTERVAL == 0
-            and steps >= 2 * CKPT_INTERVAL
-            and not track_min
-            and tau == 0.0
-        ):
-            return False
+    if two_level_engages(steps, tau, track_min):
+        return False
     # Default cap 4 GiB: admits 4K × 32 steps × f32 (3.3 GB — measured
     # 46.6 → 38.4 ms fwd+bwd, the handoff still wins with the history in
     # HBM) while keeping f64 / 64-step monsters on the recompute path.

@@ -61,6 +61,8 @@ class TiledRenderer:
                  grid_dtype=np.float32, interpret: Optional[bool] = None):
         if config.num_cameras != 1:
             raise ValueError("TiledRenderer supports a single camera")
+        if strip_height < 1:
+            raise ValueError(f"strip_height must be >= 1, got {strip_height}")
         self.config = config
         self.strip_height = min(strip_height, config.px_height)
         self.grid_dtype = grid_dtype
@@ -129,33 +131,56 @@ class TiledRenderer:
 
     def render(self, params, orientation, translation, *, mode: int = 0,
                degree: int = 1) -> np.ndarray:
-        """Render one frame strip by strip → host ndarray (1, H, W, 3)."""
+        """Render one frame strip by strip → host ndarray (1, H, W, 3).
+
+        Both passes run a depth-2 pipeline (dispatch strip s+1 before
+        fetching strip s — the viewer-loop pattern) so the host bake and
+        the device→host fetch hide under the next strip's march while
+        device memory stays bounded by two strips.
+        """
         stats_fn, shade_fn = self._get_fns(mode, degree)
         name = shaders.MODES[mode % len(shaders.MODES)]
         two_pass = name in TWO_PASS_MODES
         q = jnp.asarray(orientation, self.dtype)
         t = jnp.asarray(translation, self.dtype)
+        np_dtype = np.dtype(self.dtype)
 
         if two_pass:
-            lo = np.inf
-            hi = -np.inf
+            los, his = [], []
+            pending = None
             for s in range(self.num_strips):
                 pos0, dir0, valid, _ = self._strip_planes(s)
-                slo, shi = stats_fn(params, q, t, pos0, dir0, valid)
-                lo = min(lo, float(slo))
-                hi = max(hi, float(shi))
+                cur = stats_fn(params, q, t, pos0, dir0, valid)
+                if pending is not None:
+                    los.append(float(pending[0]))
+                    his.append(float(pending[1]))
+                pending = cur
+            los.append(float(pending[0]))
+            his.append(float(pending[1]))
+            # np.minimum/maximum (not Python min/max): a NaN statistic must
+            # poison the bounds exactly like the one-pass renderer's
+            # in-image reduction would, not be silently dropped.
             bounds = (
-                jnp.asarray(lo, self.dtype), jnp.asarray(hi, self.dtype)
+                np.asarray(np.minimum.reduce(los), np_dtype),
+                np.asarray(np.maximum.reduce(his), np_dtype),
             )
         else:
-            zero = jnp.zeros((), self.dtype)
-            bounds = (zero, zero + 1.0)
+            # Host scalars: no eager device dispatch for the unused
+            # dummies (CLAUDE.md: never run unjitted array code on the
+            # TPU tunnel).
+            bounds = (np.zeros((), np_dtype), np.ones((), np_dtype))
 
         strips = []
+        pending = None
         for s in range(self.num_strips):
             pos0, dir0, valid, rows_real = self._strip_planes(s)
             img = shade_fn(params, q, t, pos0, dir0, valid, bounds)
-            strips.append(np.asarray(img)[0, :rows_real])
+            if pending is not None:
+                pimg, prows = pending
+                strips.append(np.asarray(pimg)[0, :prows])
+            pending = (img, rows_real)
+        pimg, prows = pending
+        strips.append(np.asarray(pimg)[0, :prows])
         return np.concatenate(strips, axis=0)[None]
 
     def jitted(self, **kwargs):

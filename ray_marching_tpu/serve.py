@@ -29,8 +29,14 @@ def _parse_pose(spec: str, dtype):
 
     q_str, t_str = spec.split("/")
     q = np.asarray([float(v) for v in q_str.split(",")], np.float64)
-    q = q / np.linalg.norm(q)
     t = [float(v) for v in t_str.split(",")]
+    if q.shape != (4,) or len(t) != 3:
+        # Wrong arity is the caller's fault (HTTP 400), not a device error.
+        raise ValueError(
+            f"pose must be 'qw,qx,qy,qz/x,y,z' (got {q.shape[0]} quaternion "
+            f"and {len(t)} translation components)"
+        )
+    q = q / np.linalg.norm(q)
     return jnp.asarray([q], dtype), jnp.asarray([t], dtype)
 
 

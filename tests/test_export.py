@@ -94,10 +94,13 @@ def test_render_server_end_to_end(renderer, tmp_path):
         ref = np.nan_to_num(ref, nan=0.0)
         np.testing.assert_allclose(got, np.clip(ref, 0, 1), atol=1.0 / 255)
 
-        # Bad pose -> 400, not a crash.
-        with pytest.raises(urllib.error.HTTPError) as exc_info:
-            urllib.request.urlopen(f"{base}/render?pose=junk")
-        assert exc_info.value.code == 400
+        # Bad pose -> 400, not a crash; wrong arity is also the caller's
+        # fault (a (1, 3) "quaternion" would otherwise surface as a shape
+        # error inside the handler -> 500).
+        for bad in ("junk", "1,0,0/0,0,0", "1,0,0,0/0,0"):
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                urllib.request.urlopen(f"{base}/render?pose={bad}")
+            assert exc_info.value.code == 400, bad
     finally:
         server.close()
 

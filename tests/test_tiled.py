@@ -85,6 +85,14 @@ def test_tiled_rejects_multi_camera():
                       interpret=True)
 
 
+def test_tiled_rejects_bad_strip_height():
+    cfg = RenderConfig(px_width=16, px_height=8, marching_steps=4)
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="strip_height"):
+            TiledRenderer(registry.make_scene("single_sphere"), cfg,
+                          strip_height=bad, interpret=True)
+
+
 def test_cli_render_strip_height(tmp_path):
     from ray_marching_tpu.cli import main
 
