@@ -125,6 +125,7 @@ class TiledRenderer:
 
         fns = (jax.jit(stats), jax.jit(shade))
         self._fns[key] = fns
+        self._fns[("raw_shade",) + key] = shade
         return fns
 
     # -- public API ----------------------------------------------------------
@@ -192,3 +193,76 @@ class TiledRenderer:
 
     def default_pose(self):
         return self.fast.default_pose()
+
+    # -- strip-accumulated gradients ------------------------------------------
+
+    def _get_grad_fn(self, mode: int, degree: int):
+        key = ("grad", mode, degree)
+        if key in self._fns:
+            return self._fns[key]
+        self._get_fns(mode, degree)
+        shade = self._fns[("raw_shade", mode, degree)]
+        n_px = self.config.px_height * self.config.px_width * 3
+
+        def strip_loss(params, q, t, pos0, dir0, valid, bounds, target):
+            img = shade(params, q, t, pos0, dir0, valid, bounds)
+            err = jnp.nan_to_num(img[0, : target.shape[0]], nan=0.0) - target
+            return jnp.sum(err * err) / n_px
+
+        fn = jax.jit(jax.value_and_grad(strip_loss))
+        self._fns[key] = fn
+        return fn
+
+    def loss_and_grad(self, params, orientation, translation, target, *,
+                      mode: int = 0, degree: int = 1):
+        """Image-MSE loss and scene-parameter gradient, accumulated strip
+        by strip — inverse rendering at resolutions whose single backward
+        pass (march history + planes) would not fit one device pass.
+
+        The pixel loss is the image-space MSE against ``target``
+        ((1, H, W, 3), NaN pixels of the render compare as 0 like
+        ``optim.inverse``). Gradients are EXACT (sum of per-strip
+        cotangents) for modes without a whole-image normalization; for
+        distance/proximity/laplacian the merged bounds are treated as
+        constants, i.e. the measure-zero gradient routed through the
+        arg-extremum pixel by full autodiff is dropped (the loss value is
+        exact either way — and full autodiff's routed gradient is NaN at
+        that pixel anyway: x**(1/2.33) has infinite slope at x = 0).
+        """
+        stats_fn, _ = self._get_fns(mode, degree)
+        grad_fn = self._get_grad_fn(mode, degree)
+        name = shaders.MODES[mode % len(shaders.MODES)]
+        q = jnp.asarray(orientation, self.dtype)
+        t = jnp.asarray(translation, self.dtype)
+        np_dtype = np.dtype(self.dtype)
+        target = np.asarray(target)
+
+        if name in TWO_PASS_MODES:
+            los, his = [], []
+            for s in range(self.num_strips):
+                pos0, dir0, valid, _ = self._strip_planes(s)
+                slo, shi = stats_fn(params, q, t, pos0, dir0, valid)
+                los.append(float(slo))
+                his.append(float(shi))
+            bounds = (
+                np.asarray(np.minimum.reduce(los), np_dtype),
+                np.asarray(np.maximum.reduce(his), np_dtype),
+            )
+        else:
+            bounds = (np.zeros((), np_dtype), np.ones((), np_dtype))
+
+        loss = 0.0
+        grads = None
+        for s in range(self.num_strips):
+            pos0, dir0, valid, rows_real = self._strip_planes(s)
+            r0 = s * self.strip_height
+            tgt = jnp.asarray(
+                target[0, r0: r0 + rows_real], self.dtype
+            )
+            sl, sg = grad_fn(params, q, t, pos0, dir0, valid, bounds, tgt)
+            loss = loss + sl
+            grads = (
+                sg if grads is None
+                else jax.tree_util.tree_map(jnp.add, grads, sg)
+            )
+        return loss, grads
