@@ -149,12 +149,22 @@ def cmd_gallery(args):
 
     renderer = _build_renderer(args)
     q, t = _parse_pose(args.pose, renderer.dtype)
-    import jax
+    from ray_marching_tpu.render.tiled import TiledRenderer
 
-    fn = jax.jit(
-        lambda p, q, t: renderer.render_all_modes(p, q, t, degree=args.degree)
-    )
-    images = fn(renderer.init_params, q, t)
+    if isinstance(renderer, TiledRenderer):
+        # Host-side strip loop (each pass jitted internally).
+        images = renderer.render_all_modes(
+            renderer.init_params, q, t, degree=args.degree
+        )
+    else:
+        import jax
+
+        fn = jax.jit(
+            lambda p, q, t: renderer.render_all_modes(
+                p, q, t, degree=args.degree
+            )
+        )
+        images = fn(renderer.init_params, q, t)
     for name in MODES:
         path = write_png(Path(args.out) / f"{name}.png", images[name])
         print(f"wrote {path}")
@@ -382,6 +392,9 @@ def main(argv=None):
     p = sub.add_parser("gallery", help="render all 8 shader modes")
     _add_render_args(p)
     p.add_argument("-o", "--out", default="gallery_out")
+    p.add_argument("--strip-height", type=int, default=None, metavar="ROWS",
+                   help="render each mode in horizontal strips (galleries "
+                        "bigger than one device pass)")
     p.set_defaults(fn=cmd_gallery)
 
     p = sub.add_parser("optimize", help="inverse rendering against a target")

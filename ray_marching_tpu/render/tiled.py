@@ -194,6 +194,78 @@ class TiledRenderer:
     def default_pose(self):
         return self.fast.default_pose()
 
+    def render_all_modes(self, params, orientation, translation, *,
+                         degree: int = 1):
+        """All 8 shader modes strip by strip, TWO marches per strip total
+        (one stats pass gathering the three normalized modes' bounds
+        jointly, one shade pass emitting all 8 images) — the tiled
+        counterpart of ``FastRenderer.render_all_modes`` (the reference's
+        OmniShader capability) for frames beyond one device pass."""
+        key = ("all", degree)
+        if key not in self._fns:
+            fast = self.fast
+            steps = self.config.marching_steps
+
+            def march(params, q, t, pos0, dir0, valid):
+                origin, dirs = pose_plane_group(q, t, pos0, dir0)
+                hit, final_dirs = fast._march_planes(
+                    params, origin, dirs, steps, valid=valid
+                )
+                return origin, final_dirs, hit
+
+            def stats_all(params, q, t, pos0, dir0, valid):
+                origin, _, hit = march(params, q, t, pos0, dir0, valid)
+                vb = valid > 0.5
+                return {
+                    m: fast.norm_bounds(m, origin, hit, valid_b=vb)
+                    for m, name in enumerate(shaders.MODES)
+                    if name in TWO_PASS_MODES
+                }
+
+            def shade_all(params, q, t, pos0, dir0, valid, bounds):
+                origin, dirs, hit = march(params, q, t, pos0, dir0, valid)
+                vb = valid > 0.5
+                return {
+                    name: fast._assemble(
+                        fast._shade(
+                            m, degree, q, origin, dirs, hit, valid_b=vb,
+                            norm_bounds=bounds.get(m),
+                        )
+                    )
+                    for m, name in enumerate(shaders.MODES)
+                }
+
+            self._fns[key] = (jax.jit(stats_all), jax.jit(shade_all))
+        stats_all, shade_all = self._fns[key]
+
+        q = jnp.asarray(orientation, self.dtype)
+        t = jnp.asarray(translation, self.dtype)
+        np_dtype = np.dtype(self.dtype)
+        per_mode = {}
+        for s in range(self.num_strips):
+            pos0, dir0, valid, _ = self._strip_planes(s)
+            sb = stats_all(params, q, t, pos0, dir0, valid)
+            for m, (slo, shi) in sb.items():
+                lo, hi = per_mode.get(m, (np.inf, -np.inf))
+                per_mode[m] = (
+                    np.minimum(lo, float(slo)), np.maximum(hi, float(shi))
+                )
+        bounds = {
+            m: (np.asarray(lo, np_dtype), np.asarray(hi, np_dtype))
+            for m, (lo, hi) in per_mode.items()
+        }
+        strips = []
+        for s in range(self.num_strips):
+            pos0, dir0, valid, rows_real = self._strip_planes(s)
+            imgs = shade_all(params, q, t, pos0, dir0, valid, bounds)
+            strips.append(
+                {k: np.asarray(v)[0, :rows_real] for k, v in imgs.items()}
+            )
+        return {
+            name: np.concatenate([st[name] for st in strips], axis=0)[None]
+            for name in shaders.MODES
+        }
+
     # -- strip-accumulated gradients ------------------------------------------
 
     def _get_grad_fn(self, mode: int, degree: int):

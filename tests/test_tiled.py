@@ -163,3 +163,23 @@ def test_tiled_loss_and_grad_matches_full():
     got_l1, _ = tr.loss_and_grad(tr.init_params, q, t, target, mode=1,
                                  degree=2)
     np.testing.assert_allclose(float(got_l1), float(want_l1), rtol=1e-12)
+
+
+def test_tiled_render_all_modes_matches_full():
+    """Tiled OmniShader: all 8 modes from two marches per strip must equal
+    the one-pass render_all_modes image-for-image (1e-11; cmap-gather
+    modes allow a tiny fraction of bucket-flip pixels like the fast/modular
+    pin does)."""
+    f, tr, q, t = make_pair(strip=20, steps=12)
+    want = f.render_all_modes(f.init_params, q, t, degree=2)
+    got = tr.render_all_modes(tr.init_params, q, t, degree=2)
+    assert set(got) == set(want)
+    for name in want:
+        a = np.asarray(want[name])
+        b = got[name]
+        close = np.isclose(a, b, rtol=1e-9, atol=1e-11, equal_nan=True)
+        if name in ("tangent", "spin"):
+            assert (~close).mean() < 0.005, name
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11,
+                                       equal_nan=True, err_msg=name)
