@@ -298,7 +298,10 @@ def cmd_interactive(args):
         sink = MultiSink(KittySink(), sink)
     camera, session, frames = run_viewer(
         renderer, source, sink, max_frames=args.frames,
-        print_fps=args.display != "term",
+        # Per-frame stdout lines corrupt the repaint-in-place cursor math
+        # of BOTH terminal sinks (TerminalSink's relative cursor-up and
+        # KittySink's saved-cursor restore).
+        print_fps=args.display not in ("term", "kitty"),
         fetch_stride=args.fetch_stride,
     )
     print(f"rendered {frames} frames to {args.out}")

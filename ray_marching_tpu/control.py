@@ -30,6 +30,7 @@ from dataclasses import dataclass, field, replace
 from pathlib import Path
 from typing import Dict, FrozenSet, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ray_marching_tpu import quat
@@ -109,7 +110,12 @@ class SessionState:
 
     def step(self, snap: InputSnapshot) -> "SessionState":
         mode = self.mode + snap.scroll
-        degree = self.degree + ("i" in snap.pressed) - ("o" in snap.pressed)
+        # Clamped at 1 like marching_steps (deviation from the unclamped
+        # reference counters, control.py:61-68: degree <= 0 renders a
+        # constant colour with a recompile per decrement).
+        degree = max(
+            1, self.degree + ("i" in snap.pressed) - ("o" in snap.pressed)
+        )
         steps = max(
             1, self.marching_steps + ("m" in snap.pressed) - ("n" in snap.pressed)
         )
@@ -141,27 +147,36 @@ def input_components(snap: InputSnapshot, cfg: ControlConfig):
     return tuple(trans), tuple(rot)
 
 
+@jax.jit
+def _integrate(position, orientation, translation_input, rotation_input):
+    """The device part of one pose step — jitted so the interactive frame
+    loop never dispatches eager array ops (CLAUDE.md: eager dispatch
+    against the TPU tunnel hangs; the host part of apply_input is pure
+    Python over the snapshot)."""
+    new_position = (
+        quat.rotation(
+            jnp.broadcast_to(translation_input, position.shape), orientation
+        )
+        + position
+    )
+    new_orientation = quat.normalize(
+        quat.multiply(
+            orientation,
+            jnp.broadcast_to(quat.to_versor(rotation_input), orientation.shape),
+        )
+    )
+    return new_position, new_orientation
+
+
 def apply_input(state: CameraState, snap: InputSnapshot,
                 cfg: ControlConfig = ControlConfig()) -> CameraState:
     """One pose-integration step (reference control.py:150-165)."""
     trans, rot = input_components(snap, cfg)
     dtype = state.position.dtype
-    translation_input = jnp.asarray([trans], dtype) * cfg.translation_sensitivity
-    rotation_input = jnp.asarray([rot], dtype) * cfg.rotation_sensitivity
-
-    position = (
-        quat.rotation(
-            jnp.broadcast_to(translation_input, state.position.shape),
-            state.orientation,
-        )
-        + state.position
-    )
-    orientation = quat.normalize(
-        quat.multiply(
-            state.orientation,
-            jnp.broadcast_to(
-                quat.to_versor(rotation_input), state.orientation.shape
-            ),
-        )
+    s_t, s_r = cfg.translation_sensitivity, cfg.rotation_sensitivity
+    translation_input = jnp.asarray([[v * s_t for v in trans]], dtype)
+    rotation_input = jnp.asarray([[v * s_r for v in rot]], dtype)
+    position, orientation = _integrate(
+        state.position, state.orientation, translation_input, rotation_input
     )
     return CameraState(position=position, orientation=orientation)

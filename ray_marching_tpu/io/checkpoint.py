@@ -21,8 +21,13 @@ def _leaf_paths(tree):
 
 
 def save_pytree(path, tree, extra: dict | None = None) -> Path:
-    """Save a pytree's leaves (and optional scalar metadata) to ``path``."""
+    """Save a pytree's leaves (and optional scalar metadata) to ``path``.
+
+    Returns the path actually written: np.savez appends ``.npz`` when the
+    suffix is missing, and the return value must name the real file."""
     path = Path(path)
+    if path.suffix != ".npz":
+        path = path.with_name(path.name + ".npz")
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = {f"leaf::{k}": np.asarray(v) for k, v in _leaf_paths(tree).items()}
     for k, v in (extra or {}).items():
@@ -40,6 +45,21 @@ def load_pytree(path, template, with_extra: bool = False):
     missing = [jax.tree_util.keystr(p) for p, _ in paths if jax.tree_util.keystr(p) not in stored]
     if missing:
         raise KeyError(f"checkpoint missing leaves: {missing}")
+    # Shape check against the template: a same-named checkpoint from a
+    # different config (other num_cameras pose, other MLP width) would
+    # otherwise surface later as an opaque XLA shape error — or train
+    # silently wrong if broadcastable.
+    bad = [
+        (jax.tree_util.keystr(p), stored[jax.tree_util.keystr(p)].shape,
+         np.shape(leaf))
+        for p, leaf in paths
+        if stored[jax.tree_util.keystr(p)].shape != np.shape(leaf)
+    ]
+    if bad:
+        raise ValueError(
+            "checkpoint leaf shapes do not match the template: "
+            + ", ".join(f"{k}: stored {s} != template {t}" for k, s, t in bad)
+        )
     leaves = [
         np.asarray(stored[jax.tree_util.keystr(p)], dtype=np.asarray(leaf).dtype)
         for p, leaf in paths

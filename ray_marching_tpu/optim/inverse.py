@@ -129,6 +129,15 @@ def optimize(renderer, target, orientation, translation,
     target = jnp.asarray(target, renderer.dtype)
 
     if target_alpha is not None:
+        if config.silhouette_beta <= 0:
+            # The alpha term only enters the loss on the silhouette branch;
+            # silently dropping supplied mask supervision would leave the
+            # user with exactly the stalling pixel-only fit the mask was
+            # meant to avoid.
+            raise ValueError(
+                "target_alpha supplied but config.silhouette_beta is 0 — "
+                "set silhouette_beta > 0 to enable the coverage loss"
+            )
         target_alpha = jnp.asarray(target_alpha, renderer.dtype)
 
     def loss_fn(state):

@@ -70,15 +70,53 @@ def make_global_mesh(axis_names=("host", "chip")) -> Mesh:
     return Mesh(devices, axis_names)
 
 
+_BARRIER_FN = None
+
+
+def _barrier_fn():
+    # Built once: a fresh lambda per call would miss pmap's
+    # function-identity executable cache and retrace/recompile every
+    # barrier.
+    global _BARRIER_FN
+    if _BARRIER_FN is None:
+        _BARRIER_FN = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")
+    return _BARRIER_FN
+
+
 def barrier(timeout_s: float = 120.0) -> None:
     """Cross-host sync point that fails fast instead of hanging forever.
 
     Uses a tiny psum across all devices; on a healthy cluster this returns
-    in milliseconds. A dead peer raises from the runtime rather than
-    deadlocking the training loop indefinitely.
+    in milliseconds. ``jax.block_until_ready`` has no timeout of its own,
+    so the wait runs on a watchdog thread — if a dead peer keeps the
+    collective from completing within ``timeout_s``, this raises
+    TimeoutError on the caller (the documented fail-fast contract; recover
+    by re-launching from the latest checkpoint).
     """
+    import threading
+
     import jax.numpy as jnp
 
     x = jnp.ones((jax.local_device_count(),))
-    out = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
-    jax.block_until_ready(out)
+    out = _barrier_fn()(x)
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def wait():
+        try:
+            jax.block_until_ready(out)
+        except BaseException as exc:  # runtime error from a dead peer
+            err.append(exc)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=wait, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        raise TimeoutError(
+            f"barrier: collective did not complete within {timeout_s}s "
+            f"(process {jax.process_index()}/{jax.process_count()}) — "
+            "a peer is likely dead; restart from the latest checkpoint"
+        )
+    if err:
+        raise err[0]

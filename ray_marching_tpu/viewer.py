@@ -52,6 +52,8 @@ class PynputInput:
     """
 
     def __init__(self, screen_size=(1920, 1080)):
+        import threading
+
         from pynput import keyboard, mouse  # noqa: deferred optional dep
 
         self._mouse_pos = (screen_size[0] // 2, screen_size[1] // 2)
@@ -60,26 +62,34 @@ class PynputInput:
         self._scroll = 0
         self._quit = False
         self._save = False
+        # Listener callbacks run on pynput threads; the lock makes the
+        # per-frame snapshot in poll() atomic (an unguarded
+        # frozenset(self._pressed) can raise 'set changed size during
+        # iteration', and the scroll read-then-zero would drop events).
+        self._lock = threading.Lock()
 
         def on_move(x, y):
             self._mouse_pos = (x, y)
 
         def on_scroll(x, y, dx, dy):
-            self._scroll += 1 if dy > 0 else -1 if dy < 0 else 0
+            with self._lock:
+                self._scroll += 1 if dy > 0 else -1 if dy < 0 else 0
 
         def on_press(key):
             char = getattr(key, "char", None)
             if char:
-                self._pressed.add(char)
-                if char == "q":
-                    self._quit = True
-                if char == "p":
-                    self._save = True
+                with self._lock:
+                    self._pressed.add(char)
+                    if char == "q":
+                        self._quit = True
+                    if char == "p":
+                        self._save = True
 
         def on_release(key):
             char = getattr(key, "char", None)
             if char:
-                self._pressed.discard(char)
+                with self._lock:
+                    self._pressed.discard(char)
 
         self._listeners = [
             mouse.Listener(on_move=on_move, on_scroll=on_scroll),
@@ -89,16 +99,19 @@ class PynputInput:
             listener.start()
 
     def poll(self) -> InputSnapshot:
-        scroll, self._scroll = self._scroll, 0
-        save, self._save = self._save, False
+        with self._lock:
+            scroll, self._scroll = self._scroll, 0
+            save, self._save = self._save, False
+            pressed = frozenset(self._pressed)
+            quit_ = self._quit
         return InputSnapshot(
             mouse_ndc=(
                 (self._mouse_pos[0] - self._centre[0]) / self._centre[0],
                 (self._mouse_pos[1] - self._centre[1]) / self._centre[1],
             ),
-            pressed=frozenset(self._pressed),
+            pressed=pressed,
             scroll=scroll,
-            quit=self._quit,
+            quit=quit_,
             save_frame=save,
         )
 

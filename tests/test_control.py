@@ -95,3 +95,24 @@ def test_csv_loader_matches_defaults(tmp_path):
         "r,0,0,0,0,0,0.5\n"
     )
     assert load_key_bindings(p) == DEFAULT_KEY_BINDINGS
+
+
+def test_degree_clamped_at_one():
+    """Holding 'o' must not drive degree to 0/negative (constant-colour
+    images + a recompile per decrement); clamped like marching_steps."""
+    s = SessionState(degree=2)
+    for _ in range(5):
+        s = s.step(InputSnapshot(pressed=frozenset("o")))
+    assert s.degree == 1
+
+
+def test_barrier_returns_and_caches():
+    """barrier() completes on a healthy (single-process) runtime and
+    reuses one pmapped callable across calls (a fresh lambda per call
+    would recompile every barrier)."""
+    from ray_marching_tpu.parallel import multihost
+
+    multihost.barrier(timeout_s=60)
+    fn1 = multihost._barrier_fn()
+    multihost.barrier(timeout_s=60)
+    assert multihost._barrier_fn() is fn1

@@ -214,3 +214,38 @@ def test_optimize_fast_renderer_silhouette(setup):
     np.testing.assert_allclose(h, [0.5, 0.5, 0.2], atol=0.1)
     assert out["losses"][-1] < 0.25 * out["losses"][0]
     assert h[0] > 0.42 and h[1] > 0.42  # grew from 0.3 toward 0.5
+
+
+def test_target_alpha_without_beta_raises(small_renderer=None):
+    """Mask supervision must not be silently dropped: target_alpha with
+    the default silhouette_beta=0 is a config error."""
+    import pytest
+
+    from ray_marching_tpu.optim.inverse import InverseConfig, optimize
+    from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+    from ray_marching_tpu.scene import registry
+
+    cfg = RenderConfig(px_width=16, px_height=8, marching_steps=4)
+    r = Renderer(registry.make_scene("single_sphere"), cfg)
+    q, t = jnp.asarray([[1.0, 0, 0, 0]]), jnp.asarray([[0.0, 0, 2]])
+    target = jnp.zeros((1, 8, 16, 3))
+    with pytest.raises(ValueError, match="silhouette_beta"):
+        optimize(r, target, q, t, target_alpha=jnp.zeros((1, 8, 16, 1)),
+                 config=InverseConfig(steps=1))
+
+
+def test_checkpoint_path_suffix_and_shape_check(tmp_path):
+    """save_pytree returns the file np.savez actually wrote (suffix
+    appended); load_pytree rejects shape-mismatched leaves with the
+    offending path instead of deferring to an opaque XLA error."""
+    import pytest
+
+    from ray_marching_tpu.io.checkpoint import load_pytree, save_pytree
+
+    tree = {"a": np.ones((2, 3)), "b": np.zeros((4,))}
+    p = save_pytree(tmp_path / "ckpt_final", tree)
+    assert p.name == "ckpt_final.npz" and p.exists()
+    assert load_pytree(p, tree)["a"].shape == (2, 3)
+    bad_template = {"a": np.ones((2, 3)), "b": np.zeros((5,))}
+    with pytest.raises(ValueError, match=r"\['b'\].*stored \(4,\)"):
+        load_pytree(p, bad_template)
