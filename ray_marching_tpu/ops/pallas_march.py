@@ -54,15 +54,26 @@ def ravel_params_padded(params, dtype):
     return flat, unravel
 
 
-def _pad_rows(flat: jnp.ndarray, rows: int, rows_per_tile: int) -> jnp.ndarray:
-    """(R,) -> (rows_padded, 128) with zero fill."""
+def _pad_rows(flat: jnp.ndarray, rows: int, *, edge: bool = False
+              ) -> jnp.ndarray:
+    """(R,) -> (rows, 128). ``edge=True`` repeats the last real value into
+    the pad slots — ray planes MUST pad this way: zero-filled pads sit at
+    the world origin, a gradient singularity for many scenes, and the
+    where-mask only zeroes the pad COTANGENT, which cannot stop the
+    0·inf = NaN inside the SDF's sqrt VJP from poisoning the (shared)
+    parameter cotangent (CLAUDE.md pad-slot invariant; same fix as the
+    mega-kernel's edge-replicated padding). The validity plane keeps zero
+    fill."""
     total = flat.shape[0]
-    cols = LANES
-    padded_len = rows * cols
-    flat = jnp.concatenate(
-        [flat, jnp.zeros((padded_len - total,), flat.dtype)]
-    ) if padded_len != total else flat
-    return flat.reshape(rows, cols)
+    padded_len = rows * LANES
+    if padded_len != total:
+        pad = (
+            jnp.broadcast_to(flat[-1], (padded_len - total,))
+            if edge
+            else jnp.zeros((padded_len - total,), flat.dtype)
+        )
+        flat = jnp.concatenate([flat, pad])
+    return flat.reshape(rows, LANES)
 
 
 def _march_kernel(sdf_c, unravel, steps, tau,
@@ -125,6 +136,9 @@ def _pallas_march_flat(sdf_c, unravel, steps, tau, rows_per_tile, interpret,
     """planes: 6 arrays (rows, 128) -> (marched x, y, z, terminal distance)."""
     rows = planes[0].shape[0]
     dtype = planes[0].dtype
+    if rows % rows_per_tile:
+        # Floor division below would silently drop the trailing rows.
+        raise ValueError(f"rows={rows} not a multiple of tile={rows_per_tile}")
     num_tiles = rows // rows_per_tile
     kernel = functools.partial(_march_kernel, sdf_c, unravel, steps, tau)
     plane_spec = pl.BlockSpec(
@@ -244,10 +258,10 @@ def pallas_march_with_distance(sdf_c, params, ray_positions, ray_directions,
     flat_params, unravel = ravel_params_padded(params, ray_positions.dtype)
 
     def plane(a, idx):
-        return _pad_rows(a[..., idx].reshape(-1), rows, rows_per_tile)
+        return _pad_rows(a[..., idx].reshape(-1), rows, edge=True)
 
     dtype = ray_positions.dtype
-    valid = _pad_rows(jnp.ones((total,), dtype), rows, rows_per_tile)
+    valid = _pad_rows(jnp.ones((total,), dtype), rows)
     rays7 = jnp.stack(
         [plane(ray_positions, 0), plane(ray_positions, 1), plane(ray_positions, 2),
          plane(ray_directions, 0), plane(ray_directions, 1), plane(ray_directions, 2),

@@ -80,8 +80,11 @@ def shard_render(renderer, mesh: Mesh, *, mode: int = 0, degree: int = 1,
         ray_directions = jax.lax.with_sharding_constraint(
             jnp.broadcast_to(cam.ray_directions, cam.ray_directions.shape), sharding
         )
-        # Temporarily rebind the camera constants via a shallow copy of the
-        # pure pose computation (Camera.pose only reads these two arrays).
+        # Pose the constrained constants (the pure Camera.pose math), then
+        # delegate the march/normals/shade body to the renderer itself so
+        # every config flag (use_autodiff_normals, cmap_fourier, tau,
+        # bounces) stays in one place — the inline copy this replaced had
+        # already drifted on two of them.
         from ray_marching_tpu import quat
 
         q = orientation[:, None, None, :]
@@ -89,29 +92,10 @@ def shard_render(renderer, mesh: Mesh, *, mode: int = 0, degree: int = 1,
         world_dir = quat.rotation(ray_directions, q)
         frames = quat.to_so3(orientation)
 
-        steps = marching_steps or renderer.config.marching_steps
-        surface_coords, final_dirs = renderer._march(params, world_pos, world_dir, steps)
-        surface_distances = renderer.sdf_vec(params, surface_coords)
-        surface_normals, surface_laplacian = renderer.normals(
-            renderer.sdf_vec, params, surface_coords
+        image = renderer.render_from_rays(
+            params, orientation, world_pos, frames, world_pos, world_dir,
+            mode=mode, degree=degree, marching_steps=marching_steps,
         )
-        from ray_marching_tpu.render import shaders
-
-        image = shaders.shade(
-            mode,
-            px_coords=world_pos,
-            camera_orientation=orientation,
-            pixel_frames=frames,
-            ray_directions=final_dirs,
-            surface_coords=surface_coords,
-            surface_normals=surface_normals,
-            surface_laplacian=surface_laplacian,
-            surface_distances=surface_distances,
-            cyclic_cmap=renderer.cyclic_cmap,
-            degree=degree,
-        )
-        h, w = renderer.config.px_height, renderer.config.px_width
-        image = jnp.broadcast_to(image, (image.shape[0], h, w, 3))
         return jax.lax.with_sharding_constraint(image, sharding)
 
     return jax.jit(

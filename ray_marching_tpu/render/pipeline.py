@@ -118,10 +118,26 @@ class Renderer:
         Returns:
             (N, H, W, 3) image.
         """
-        steps = self.config.marching_steps if marching_steps is None else marching_steps
         pixel_pos, pixel_frames, ray_pos, ray_dirs = self.camera.pose(
             orientation, translation
         )
+        return self.render_from_rays(
+            params, orientation, pixel_pos, pixel_frames, ray_pos, ray_dirs,
+            mode=mode, degree=degree, marching_steps=marching_steps,
+            axis_names=axis_names,
+        )
+
+    def render_from_rays(self, params, orientation, pixel_pos, pixel_frames,
+                         ray_pos, ray_dirs, *, mode: int = 0, degree: int = 1,
+                         marching_steps: Optional[int] = None,
+                         axis_names=()):
+        """March → normals → shade from an already-posed ray grid — the
+        body shared by :meth:`render` and the sharded path
+        (parallel/sharding.py applies its sharding constraints to the
+        camera constants, then delegates here), so config flags
+        (use_autodiff_normals, cmap_fourier, tau, bounces) cannot drift
+        between the two."""
+        steps = self.config.marching_steps if marching_steps is None else marching_steps
         surface_coords, ray_dirs = self._march(params, ray_pos, ray_dirs, steps)
         surface_distances = self.sdf_vec(params, surface_coords)
         if self.config.use_autodiff_normals:
@@ -146,7 +162,6 @@ class Renderer:
             degree=degree,
             axis_names=axis_names,
         )
-        n = self.config.num_cameras
         h, w = self.config.px_height, self.config.px_width
         return jnp.broadcast_to(image, (image.shape[0], h, w, 3))
 

@@ -165,3 +165,40 @@ def test_mega_kernel_matches_reference_fn():
             np.asarray(got), np.asarray(want), rtol=1e-10, atol=1e-12,
             err_msg=f"tau={tau} track_min={track_min}",
         )
+
+
+def test_pad_slot_gradients_not_poisoned_by_origin_singularity():
+    """Zero-filled ray-plane pads sit at the world origin — a gradient
+    singularity for scenes like Affine(Sphere, t=0) or a Line through the
+    origin — and the where-mask only zeroes the pad COTANGENT, which
+    cannot stop 0·inf = NaN inside the SDF's sqrt VJP from poisoning the
+    shared parameter cotangent. Pads are edge-replicated real rays now
+    (the mega-kernel's fix); parameter grads must stay finite and equal
+    the scan marcher's (CLAUDE.md pad-slot invariant)."""
+    from ray_marching_tpu.scene.graph import Affine, Sphere, compile_scene
+
+    node = Affine(Sphere(0.5), (1.0, 0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
+    sdf_vec, sdf_c, params = compile_scene(node, jnp.float64)
+    rng = np.random.default_rng(2)
+    n = 300  # NOT a multiple of 1024 -> pad slots exist
+    p0 = jnp.asarray(rng.uniform(1.0, 2.0, (n, 3)))
+    v = rng.standard_normal((n, 3))
+    v = jnp.asarray(v / np.linalg.norm(v, axis=-1, keepdims=True))
+
+    def loss(marcher, params):
+        return jnp.sum(marcher(params, p0, v) ** 2)
+
+    g_pallas = jax.grad(
+        lambda p: loss(lambda p_, a, b: pallas_march(
+            sdf_c, p_, a, b, 8, interpret=True), p)
+    )(params)
+    g_scan = jax.grad(
+        lambda p: loss(lambda p_, a, b: march(sdf_vec, p_, a, b, 8), p)
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pallas),
+                    jax.tree_util.tree_leaves(g_scan)):
+        assert np.isfinite(np.asarray(a)).all()
+        # atol covers summation-order rounding on the sphere's
+        # rotation-invariant orientation leaf (true gradient exactly 0).
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-8)

@@ -112,3 +112,38 @@ def test_gradients_match_unsharded(mesh):
             atol=1e-6,
             err_msg=path,
         )
+
+
+def test_shard_render_honors_config_flags():
+    """shard_render must not drift from Renderer.render: autodiff normals
+    and the Fourier colourmap are config flags the (now-deleted) inline
+    copy silently dropped. Pixel parity with the unsharded render under
+    both flags, and an explicit marching_steps=0 is honored (not replaced
+    by the config value through a falsy-or)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ray_marching_tpu.parallel.sharding import make_mesh, shard_render
+
+    cfg = RenderConfig(
+        px_width=64, px_height=32,
+        focal_length=PX_SIZE * 32, sensor_width=PX_SIZE * 64,
+        sensor_height=PX_SIZE * 32,
+        marching_steps=8, use_autodiff_normals=True, cmap_fourier=True,
+    )
+    r = Renderer(registry.make_scene("test_scene2"), cfg, dtype=jnp.float64,
+                 grid_dtype=np.float64)
+    mesh = make_mesh((8, 1), ("rows", "cols"))
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float64)
+    t = jnp.asarray([[0.0, 0.2, 2.5]], jnp.float64)
+    for mode in (0, 6):  # lambertian (normals path), tangent (cmap path)
+        a = np.asarray(r.render(r.init_params, q, t, mode=mode, degree=2))
+        b = np.asarray(
+            shard_render(r, mesh, mode=mode, degree=2)(r.init_params, q, t)
+        )
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11,
+                                   equal_nan=True, err_msg=f"mode {mode}")
+    a0 = np.asarray(r.render(r.init_params, q, t, mode=0, marching_steps=0))
+    b0 = np.asarray(
+        shard_render(r, mesh, mode=0, marching_steps=0)(r.init_params, q, t)
+    )
+    np.testing.assert_allclose(a0, b0, rtol=1e-9, atol=1e-11, equal_nan=True)
