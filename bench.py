@@ -127,16 +127,17 @@ def main():
     rays_per_sec = measure(1920, 1080, iters=iters, use_pallas=use_pallas)
     try:
         cpu_rays = cpu_baseline()
+        vs_baseline = round(rays_per_sec / (10.0 * cpu_rays), 3)
     except Exception as exc:  # CPU leg must never sink the benchmark
         print(f"cpu baseline failed: {exc}", file=sys.stderr)
-        cpu_rays = float("nan")
+        vs_baseline = None  # json NaN is not valid JSON; null is
     print(
         json.dumps(
             {
                 "metric": "rays_per_sec_fwd_bwd_1080p",
                 "value": round(rays_per_sec),
                 "unit": "rays/s/chip",
-                "vs_baseline": round(rays_per_sec / (10.0 * cpu_rays), 3),
+                "vs_baseline": vs_baseline,
             }
         )
     )

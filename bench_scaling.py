@@ -64,19 +64,22 @@ def main():
     t = jnp.asarray([[0.0, 0.2, 2.5]], jnp.float32)
     target = jnp.zeros((1, h, w, 3), jnp.float32)
 
-    if args.modular:
-        renderer = Renderer(scene, cfg, dtype=jnp.float32)
-    else:
-        # Flagship path: fused Pallas fwd+bwd kernels under shard_map.
-        # rows must split into whole 8-row sublane tiles on every mesh size.
-        renderer = FastRenderer(scene, cfg, dtype=jnp.float32,
-                                row_multiple=8 * n_max)
-
     sizes = []
     n = 1
     while n <= n_max:
         sizes.append(n)
         n *= 2
+
+    if args.modular:
+        renderer = Renderer(scene, cfg, dtype=jnp.float32)
+    else:
+        # Flagship path: fused Pallas fwd+bwd kernels under shard_map.
+        # rows must split into whole 8-row sublane tiles on EVERY
+        # benchmarked mesh size — 8*n_max only covers them when n_max is a
+        # power of two (e.g. 6 devices benchmark sizes [1,2,4] but
+        # rows % 32 != 0 with row_multiple=48); use the largest size.
+        renderer = FastRenderer(scene, cfg, dtype=jnp.float32,
+                                row_multiple=8 * sizes[-1])
     results = {}
     for n in sizes:
         devices = jax.devices()[:n]

@@ -117,6 +117,13 @@ def _build_renderer(args):
                     grid_dtype=grid_dtype)
 
 
+def _parse_mode(spec):
+    """Shader mode from a name ('spin') or an index string ('7')."""
+    from ray_marching_tpu.render.shaders import MODES
+
+    return MODES.index(spec) if spec in MODES else int(spec)
+
+
 def _parse_pose(spec, dtype):
     import jax.numpy as jnp
 
@@ -133,7 +140,7 @@ def cmd_render(args):
 
     renderer = _build_renderer(args)
     q, t = _parse_pose(args.pose, renderer.dtype)
-    mode = MODES.index(args.mode) if args.mode in MODES else int(args.mode)
+    mode = _parse_mode(args.mode)
     image = renderer.jitted(mode=mode, degree=args.degree)(
         renderer.init_params, q, t
     )
@@ -177,20 +184,27 @@ def cmd_optimize(args):
 
     renderer = _build_renderer(args)
     q, t = _parse_pose(args.pose, renderer.dtype)
+    # nargs='*' can yield an EMPTY list, which would mean "perturb every
+    # leaf" to the selftest below but "train no leaf" to InverseConfig's
+    # mask — normalize to None (all trainable) so the two agree.
+    trainable = args.trainable or None
     if args.target == "selftest":
         # Built-in demo: render the target from +20%-perturbed trainable
         # leaves, then recover them from the unperturbed init.
         from ray_marching_tpu.scene.graph import tree_map_with_path
 
-        wanted = args.trainable or []
+        wanted = trainable or []
         true_params = tree_map_with_path(
             lambda path, leaf: leaf * 1.2
             if any(tp in path for tp in wanted) or not wanted
             else leaf,
             renderer.init_params,
         )
-        target = renderer.render(true_params, q, t, mode=args.optimize_mode,
-                                 degree=args.degree)
+        # Jitted: an eager full render would dispatch op-by-op against the
+        # TPU tunnel (CLAUDE.md).
+        target = renderer.jitted(mode=args.optimize_mode, degree=args.degree)(
+            true_params, q, t
+        )
     else:
         target = jnp.asarray(_read_png(args.target)[None], renderer.dtype)
 
@@ -199,7 +213,7 @@ def cmd_optimize(args):
         steps=args.opt_steps,
         mode=args.optimize_mode,
         degree=args.degree,
-        trainable=args.trainable,
+        trainable=trainable,
         optimize_pose=args.optimize_pose,
         checkpoint_dir=args.checkpoint_dir,
         metrics_path=args.metrics,
@@ -214,7 +228,21 @@ def cmd_optimize(args):
 
 
 def _read_png(path):
-    """Minimal PNG reader (8-bit RGB/RGBA/grey, no interlace)."""
+    """Read a PNG target as float32 (H, W, 3) in [0, 1].
+
+    PIL when available (fast C filter reconstruction, every colour type);
+    otherwise a minimal pure reader (8-bit RGB/RGBA/grey/grey+alpha, no
+    interlace) whose Sub filter is vectorized via modular cumsum — the
+    Average/Paeth per-byte loops make large encoder-filtered PNGs slow,
+    which is why PIL goes first."""
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGB"), np.uint8)
+        return arr.astype(np.float32) / 255.0
+    except ImportError:
+        pass
     import struct
     import zlib
 
@@ -242,9 +270,9 @@ def _read_png(path):
         filt = raw[pos]
         line = np.frombuffer(raw[pos + 1:pos + 1 + stride], np.uint8).copy()
         pos += 1 + stride
-        if filt == 1:  # Sub
-            for i in range(c, stride):
-                line[i] = (line[i] + line[i - c]) & 0xFF
+        if filt == 1:  # Sub — prefix sum per channel offset (mod 256)
+            cols = line.reshape(w, c)
+            line = np.cumsum(cols, axis=0, dtype=np.uint8).reshape(-1)
         elif filt == 2:  # Up
             line = (line + prev) & 0xFF
         elif filt == 3:  # Average
@@ -259,11 +287,15 @@ def _read_png(path):
                 p = a + b - cc
                 pr = a if abs(p - a) <= abs(p - b) and abs(p - a) <= abs(p - cc) \
                     else b if abs(p - b) <= abs(p - cc) else cc
-                line[i] = (line[i] + pr) & 0xFF
+                line[i] = (int(line[i]) + pr) & 0xFF
         out[row] = line
         prev = line
     img = out.reshape(h, w, c).astype(np.float32) / 255.0
-    return img[:, :, :3] if c >= 3 else np.repeat(img, 3, axis=-1)
+    if c >= 3:
+        return img[:, :, :3]
+    # grey (c=1) or grey+alpha (c=2): broadcast the luma channel only —
+    # np.repeat over c=2 would interleave alpha bytes into the RGB.
+    return np.repeat(img[:, :, :1], 3, axis=-1)
 
 
 def cmd_interactive(args):
@@ -334,7 +366,7 @@ def cmd_export(args):
     from ray_marching_tpu.render.shaders import MODES
 
     renderer = _build_renderer(args)
-    mode = MODES.index(args.mode) if args.mode in MODES else int(args.mode)
+    mode = _parse_mode(args.mode)
     platforms = args.platforms.split(",") if args.platforms else None
     path = export_render(renderer, args.out, mode=mode, degree=args.degree,
                          platforms=platforms)

@@ -37,9 +37,14 @@ def register(name: str):
 def make_scene(name: str) -> Node:
     """Build a registered scene by name."""
     try:
-        return _REGISTRY[name]()
+        fn = _REGISTRY[name]
     except KeyError:
-        raise KeyError(f"unknown scene {name!r}; available: {sorted(_REGISTRY)}") from None
+        raise KeyError(
+            f"unknown scene {name!r}; available: {sorted(_REGISTRY)}"
+        ) from None
+    # Called outside the try: a KeyError raised INSIDE a factory must not
+    # be misreported as an unknown scene name.
+    return fn()
 
 
 def available_scenes():
