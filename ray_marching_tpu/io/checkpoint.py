@@ -73,3 +73,64 @@ def load_pytree(path, template, with_extra: bool = False):
         }
         return tree, extra
     return tree
+
+
+# --- orbax backend (multihost-safe) ------------------------------------------
+#
+# The npz path above is single-host: every process would race on one file.
+# On pods, orbax-checkpoint provides atomic, multihost-coordinated pytree
+# checkpoints (each host writes its shards; host 0 commits). Same
+# template-supplies-structure contract as load_pytree.
+
+
+def save_pytree_orbax(directory, tree, extra: dict | None = None) -> Path:
+    """Save a pytree with orbax (atomic, multihost-coordinated).
+
+    ``directory`` must be a fresh or nonexistent directory per checkpoint
+    (orbax commits atomically via rename). ``extra`` scalars ride along as
+    a side pytree."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            directory,
+            {"tree": tree, "extra": {k: np.asarray(v) for k, v in (extra or {}).items()}},
+        )
+    return directory
+
+
+def load_pytree_orbax(directory, template, with_extra: bool = False):
+    """Restore an orbax checkpoint against ``template`` (structure and
+    leaf dtypes from the template, like :func:`load_pytree`)."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(directory)
+    stored = restored["tree"]
+    flat_stored, _ = jax.tree_util.tree_flatten(stored)
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    if len(flat_stored) != len(paths):
+        raise ValueError(
+            f"checkpoint has {len(flat_stored)} leaves, template has "
+            f"{len(paths)}"
+        )
+    bad = [
+        (jax.tree_util.keystr(p), np.shape(s), np.shape(leaf))
+        for s, (p, leaf) in zip(flat_stored, paths)
+        if np.shape(s) != np.shape(leaf)
+    ]
+    if bad:
+        raise ValueError(
+            "checkpoint leaf shapes do not match the template: "
+            + ", ".join(f"{k}: stored {s} != template {t}" for k, s, t in bad)
+        )
+    leaves = [
+        np.asarray(s, dtype=np.asarray(leaf).dtype)
+        for s, (_, leaf) in zip(flat_stored, paths)
+    ]
+    tree = jax.tree_util.tree_unflatten(treedef, leaves)
+    if with_extra:
+        return tree, dict(restored.get("extra") or {})
+    return tree

@@ -28,7 +28,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ray_marching_tpu.io.checkpoint import load_pytree, save_pytree
+from ray_marching_tpu.io.checkpoint import (
+    load_pytree,
+    load_pytree_orbax,
+    save_pytree,
+    save_pytree_orbax,
+)
 from ray_marching_tpu.scene.graph import tree_map_with_path
 
 
@@ -44,6 +49,10 @@ class InverseConfig:
     optimize_pose: bool = False
     checkpoint_every: int = 50
     checkpoint_dir: Optional[str] = None
+    # 'npz' (single-host file) or 'orbax' (atomic,
+    # multihost-coordinated - required when optimizing under
+    # jax.distributed on pods).
+    checkpoint_backend: str = "npz"
     metrics_path: Optional[str] = None
     loss: str = "l2"  # l2 | l1
     # Silhouette-aware loss: with beta > 0 the render is composited with a
@@ -121,7 +130,12 @@ def optimize(renderer, target, orientation, translation,
     opt_state = optimizer.init(state)
     start_step = 0
     if resume_from:
-        (state, opt_state), extra = load_pytree(
+        load_fn = (
+            load_pytree_orbax
+            if config.checkpoint_backend == "orbax"
+            else load_pytree
+        )
+        (state, opt_state), extra = load_fn(
             resume_from, (state, opt_state), with_extra=True
         )
         start_step = int(extra.get("step", 0))
@@ -224,11 +238,20 @@ def optimize(renderer, target, orientation, translation,
                 config.checkpoint_dir
                 and (step + 1) % config.checkpoint_every == 0
             ):
-                save_pytree(
-                    Path(config.checkpoint_dir) / f"ckpt_{step + 1:06d}.npz",
-                    (state, opt_state),
-                    extra={"step": step + 1},
-                )
+                if config.checkpoint_backend == "orbax":
+                    save_pytree_orbax(
+                        Path(config.checkpoint_dir)
+                        / f"ckpt_{step + 1:06d}",
+                        (state, opt_state),
+                        extra={"step": step + 1},
+                    )
+                else:
+                    save_pytree(
+                        Path(config.checkpoint_dir)
+                        / f"ckpt_{step + 1:06d}.npz",
+                        (state, opt_state),
+                        extra={"step": step + 1},
+                    )
     finally:
         if metrics_file:
             metrics_file.close()

@@ -249,3 +249,38 @@ def test_checkpoint_path_suffix_and_shape_check(tmp_path):
     bad_template = {"a": np.ones((2, 3)), "b": np.zeros((5,))}
     with pytest.raises(ValueError, match=r"\['b'\].*stored \(4,\)"):
         load_pytree(p, bad_template)
+
+
+def test_orbax_checkpoint_resume(tmp_path):
+    """The orbax backend (multihost-safe checkpointing, SURVEY.md §5)
+    roundtrips (state, opt_state) + step counter and resumes where the
+    npz backend would — same template-supplies-structure contract; shape
+    mismatches fail fast with the offending path."""
+    import pytest
+
+    from ray_marching_tpu.io.checkpoint import (
+        load_pytree_orbax,
+        save_pytree_orbax,
+    )
+    from ray_marching_tpu.optim.inverse import InverseConfig, optimize
+    from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+    from ray_marching_tpu.scene import registry
+
+    cfg = RenderConfig(px_width=24, px_height=16, marching_steps=4)
+    r = Renderer(registry.make_scene("single_sphere"), cfg)
+    q, t = jnp.asarray([[1.0, 0, 0, 0]]), jnp.asarray([[0.0, 0, 2]])
+    target = r.render(r.init_params, q, t, mode=0) * 0.8
+    icfg = InverseConfig(steps=4, checkpoint_every=2,
+                         checkpoint_dir=str(tmp_path / "ck"),
+                         checkpoint_backend="orbax")
+    out = optimize(r, target, q, t, config=icfg)
+    ckpts = sorted((tmp_path / "ck").iterdir())
+    assert [c.name for c in ckpts] == ["ckpt_000002", "ckpt_000004"]
+    out2 = optimize(r, target, q, t, config=icfg,
+                    resume_from=ckpts[-1])
+    assert out2["steps_run"] == 0  # already past config.steps
+    # shape-mismatch template fails fast
+    bad = {"a": np.ones((3,))}
+    p = save_pytree_orbax(tmp_path / "solo", bad)
+    with pytest.raises(ValueError, match="shapes"):
+        load_pytree_orbax(p, {"a": np.ones((4,))})
