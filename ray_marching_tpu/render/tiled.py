@@ -1,6 +1,6 @@
 """Tiled (strip) rendering: images larger than one device pass.
 
-Renders arbitrarily large single-camera frames by marching horizontal
+Renders arbitrarily large frames by marching horizontal
 pixel strips through the fused mega-kernel and assembling on the host —
 device memory and compile size are bounded by the strip, not the image
 (motivation measured in docs/PERFORMANCE.md: an 8K frame exceeds this
@@ -59,14 +59,19 @@ class TiledRenderer:
     def __init__(self, scene: Node, config: RenderConfig, *,
                  strip_height: int = 512, dtype=jnp.float32,
                  grid_dtype=np.float32, interpret: Optional[bool] = None):
-        if config.num_cameras != 1:
-            raise ValueError("TiledRenderer supports a single camera")
         if strip_height < 1:
             raise ValueError(f"strip_height must be >= 1, got {strip_height}")
         self.config = config
+        self.num_cameras = config.num_cameras
         self.strip_height = min(strip_height, config.px_height)
         self.grid_dtype = grid_dtype
-        strip_cfg = dataclasses.replace(config, px_height=self.strip_height)
+        # The device-side worker is always a 1-camera strip renderer;
+        # multi-camera batches loop (camera, strip) pairs on the host with
+        # each camera's pose row, and the whole-image normalizations span
+        # the full batch (reference semantics) via the merged bounds.
+        strip_cfg = dataclasses.replace(
+            config, px_height=self.strip_height, num_cameras=1
+        )
         self.fast = FastRenderer(scene, strip_cfg, dtype=dtype,
                                  grid_dtype=grid_dtype, interpret=interpret)
         self.dtype = dtype
@@ -130,59 +135,73 @@ class TiledRenderer:
 
     # -- public API ----------------------------------------------------------
 
-    def render(self, params, orientation, translation, *, mode: int = 0,
-               degree: int = 1) -> np.ndarray:
-        """Render one frame strip by strip → host ndarray (1, H, W, 3).
-
-        Both passes run a depth-2 pipeline (dispatch strip s+1 before
-        fetching strip s — the viewer-loop pattern) so the host bake and
-        the device→host fetch hide under the next strip's march while
-        device memory stays bounded by two strips.
-        """
-        stats_fn, shade_fn = self._get_fns(mode, degree)
-        name = shaders.MODES[mode % len(shaders.MODES)]
-        two_pass = name in TWO_PASS_MODES
+    def _cam_rows(self, orientation, translation):
         q = jnp.asarray(orientation, self.dtype)
         t = jnp.asarray(translation, self.dtype)
-        np_dtype = np.dtype(self.dtype)
+        return [(q[n: n + 1], t[n: n + 1]) for n in range(self.num_cameras)]
 
-        if two_pass:
-            los, his = [], []
-            pending = None
+    def _merged_bounds(self, stats_fn, params, poses, np_dtype):
+        """Pass 1: per-(camera, strip) statistics, merged on the host with
+        np.minimum/maximum (not Python min/max: a NaN statistic must
+        poison the bounds exactly like the one-pass renderer's in-image
+        reduction would, not be silently dropped). Depth-2 pipelined."""
+        los, his = [], []
+        pending = None
+        for qn, tn in poses:
             for s in range(self.num_strips):
                 pos0, dir0, valid, _ = self._strip_planes(s)
-                cur = stats_fn(params, q, t, pos0, dir0, valid)
+                cur = stats_fn(params, qn, tn, pos0, dir0, valid)
                 if pending is not None:
                     los.append(float(pending[0]))
                     his.append(float(pending[1]))
                 pending = cur
-            los.append(float(pending[0]))
-            his.append(float(pending[1]))
-            # np.minimum/maximum (not Python min/max): a NaN statistic must
-            # poison the bounds exactly like the one-pass renderer's
-            # in-image reduction would, not be silently dropped.
-            bounds = (
-                np.asarray(np.minimum.reduce(los), np_dtype),
-                np.asarray(np.maximum.reduce(his), np_dtype),
-            )
+        los.append(float(pending[0]))
+        his.append(float(pending[1]))
+        return (
+            np.asarray(np.minimum.reduce(los), np_dtype),
+            np.asarray(np.maximum.reduce(his), np_dtype),
+        )
+
+    def render(self, params, orientation, translation, *, mode: int = 0,
+               degree: int = 1) -> np.ndarray:
+        """Render one frame strip by strip → host ndarray (N, H, W, 3).
+
+        Both passes run a depth-2 pipeline (dispatch strip s+1 before
+        fetching strip s — the viewer-loop pattern) so the host bake and
+        the device→host fetch hide under the next strip's march while
+        device memory stays bounded by two strips. Multi-camera batches
+        loop (camera, strip) pairs; the global normalizations span the
+        whole batch like the one-pass renderers.
+        """
+        stats_fn, shade_fn = self._get_fns(mode, degree)
+        name = shaders.MODES[mode % len(shaders.MODES)]
+        two_pass = name in TWO_PASS_MODES
+        poses = self._cam_rows(orientation, translation)
+        np_dtype = np.dtype(self.dtype)
+
+        if two_pass:
+            bounds = self._merged_bounds(stats_fn, params, poses, np_dtype)
         else:
             # Host scalars: no eager device dispatch for the unused
             # dummies (CLAUDE.md: never run unjitted array code on the
             # TPU tunnel).
             bounds = (np.zeros((), np_dtype), np.ones((), np_dtype))
 
-        strips = []
+        frames = [[] for _ in poses]
         pending = None
-        for s in range(self.num_strips):
-            pos0, dir0, valid, rows_real = self._strip_planes(s)
-            img = shade_fn(params, q, t, pos0, dir0, valid, bounds)
-            if pending is not None:
-                pimg, prows = pending
-                strips.append(np.asarray(pimg)[0, :prows])
-            pending = (img, rows_real)
-        pimg, prows = pending
-        strips.append(np.asarray(pimg)[0, :prows])
-        return np.concatenate(strips, axis=0)[None]
+        for n, (qn, tn) in enumerate(poses):
+            for s in range(self.num_strips):
+                pos0, dir0, valid, rows_real = self._strip_planes(s)
+                img = shade_fn(params, qn, tn, pos0, dir0, valid, bounds)
+                if pending is not None:
+                    pn, pimg, prows = pending
+                    frames[pn].append(np.asarray(pimg)[0, :prows])
+                pending = (n, img, rows_real)
+        pn, pimg, prows = pending
+        frames[pn].append(np.asarray(pimg)[0, :prows])
+        return np.stack(
+            [np.concatenate(f, axis=0) for f in frames], axis=0
+        )
 
     def jitted(self, **kwargs):
         """CLI-compatibility shim: the strip loop is host-side (each strip
@@ -192,7 +211,9 @@ class TiledRenderer:
         return functools.partial(self.render, **kwargs)
 
     def default_pose(self):
-        return self.fast.default_pose()
+        q1, t1 = self.fast.default_pose()  # the worker is single-camera
+        n = self.num_cameras
+        return jnp.tile(q1, (n, 1)), jnp.tile(t1, (n, 1))
 
     def render_all_modes(self, params, orientation, translation, *,
                          degree: int = 1):
@@ -238,31 +259,39 @@ class TiledRenderer:
             self._fns[key] = (jax.jit(stats_all), jax.jit(shade_all))
         stats_all, shade_all = self._fns[key]
 
-        q = jnp.asarray(orientation, self.dtype)
-        t = jnp.asarray(translation, self.dtype)
+        poses = self._cam_rows(orientation, translation)
         np_dtype = np.dtype(self.dtype)
         per_mode = {}
-        for s in range(self.num_strips):
-            pos0, dir0, valid, _ = self._strip_planes(s)
-            sb = stats_all(params, q, t, pos0, dir0, valid)
-            for m, (slo, shi) in sb.items():
-                lo, hi = per_mode.get(m, (np.inf, -np.inf))
-                per_mode[m] = (
-                    np.minimum(lo, float(slo)), np.maximum(hi, float(shi))
-                )
+        for qn, tn in poses:
+            for s in range(self.num_strips):
+                pos0, dir0, valid, _ = self._strip_planes(s)
+                sb = stats_all(params, qn, tn, pos0, dir0, valid)
+                for m, (slo, shi) in sb.items():
+                    lo, hi = per_mode.get(m, (np.inf, -np.inf))
+                    per_mode[m] = (
+                        np.minimum(lo, float(slo)),
+                        np.maximum(hi, float(shi)),
+                    )
         bounds = {
             m: (np.asarray(lo, np_dtype), np.asarray(hi, np_dtype))
             for m, (lo, hi) in per_mode.items()
         }
-        strips = []
-        for s in range(self.num_strips):
-            pos0, dir0, valid, rows_real = self._strip_planes(s)
-            imgs = shade_all(params, q, t, pos0, dir0, valid, bounds)
-            strips.append(
-                {k: np.asarray(v)[0, :rows_real] for k, v in imgs.items()}
-            )
+        frames = [[] for _ in poses]
+        for n, (qn, tn) in enumerate(poses):
+            for s in range(self.num_strips):
+                pos0, dir0, valid, rows_real = self._strip_planes(s)
+                imgs = shade_all(params, qn, tn, pos0, dir0, valid, bounds)
+                frames[n].append(
+                    {k: np.asarray(v)[0, :rows_real] for k, v in imgs.items()}
+                )
         return {
-            name: np.concatenate([st[name] for st in strips], axis=0)[None]
+            name: np.stack(
+                [
+                    np.concatenate([st[name] for st in f], axis=0)
+                    for f in frames
+                ],
+                axis=0,
+            )
             for name in shaders.MODES
         }
 
@@ -274,7 +303,10 @@ class TiledRenderer:
             return self._fns[key]
         self._get_fns(mode, degree)
         shade = self._fns[("raw_shade", mode, degree)]
-        n_px = self.config.px_height * self.config.px_width * 3
+        n_px = (
+            self.num_cameras * self.config.px_height
+            * self.config.px_width * 3
+        )
 
         def strip_loss(params, q, t, pos0, dir0, valid, bounds, target):
             img = shade(params, q, t, pos0, dir0, valid, bounds)
@@ -292,8 +324,9 @@ class TiledRenderer:
         pass (march history + planes) would not fit one device pass.
 
         The pixel loss is the image-space MSE against ``target``
-        ((1, H, W, 3), NaN pixels of the render compare as 0 like
-        ``optim.inverse``). Gradients are EXACT (sum of per-strip
+        ((N, H, W, 3), NaN pixels of the render compare as 0 like
+        ``optim.inverse``; multi-camera batches loop (camera, strip)
+        pairs). Gradients are EXACT (sum of per-strip
         cotangents) for modes without a whole-image normalization; for
         distance/proximity/laplacian the merged bounds are treated as
         constants, i.e. the measure-zero gradient routed through the
@@ -304,37 +337,30 @@ class TiledRenderer:
         stats_fn, _ = self._get_fns(mode, degree)
         grad_fn = self._get_grad_fn(mode, degree)
         name = shaders.MODES[mode % len(shaders.MODES)]
-        q = jnp.asarray(orientation, self.dtype)
-        t = jnp.asarray(translation, self.dtype)
+        poses = self._cam_rows(orientation, translation)
         np_dtype = np.dtype(self.dtype)
         target = np.asarray(target)
 
         if name in TWO_PASS_MODES:
-            los, his = [], []
-            for s in range(self.num_strips):
-                pos0, dir0, valid, _ = self._strip_planes(s)
-                slo, shi = stats_fn(params, q, t, pos0, dir0, valid)
-                los.append(float(slo))
-                his.append(float(shi))
-            bounds = (
-                np.asarray(np.minimum.reduce(los), np_dtype),
-                np.asarray(np.maximum.reduce(his), np_dtype),
-            )
+            bounds = self._merged_bounds(stats_fn, params, poses, np_dtype)
         else:
             bounds = (np.zeros((), np_dtype), np.ones((), np_dtype))
 
         loss = 0.0
         grads = None
-        for s in range(self.num_strips):
-            pos0, dir0, valid, rows_real = self._strip_planes(s)
-            r0 = s * self.strip_height
-            tgt = jnp.asarray(
-                target[0, r0: r0 + rows_real], self.dtype
-            )
-            sl, sg = grad_fn(params, q, t, pos0, dir0, valid, bounds, tgt)
-            loss = loss + sl
-            grads = (
-                sg if grads is None
-                else jax.tree_util.tree_map(jnp.add, grads, sg)
-            )
+        for n, (qn, tn) in enumerate(poses):
+            for s in range(self.num_strips):
+                pos0, dir0, valid, rows_real = self._strip_planes(s)
+                r0 = s * self.strip_height
+                tgt = jnp.asarray(
+                    target[n, r0: r0 + rows_real], self.dtype
+                )
+                sl, sg = grad_fn(
+                    params, qn, tn, pos0, dir0, valid, bounds, tgt
+                )
+                loss = loss + sl
+                grads = (
+                    sg if grads is None
+                    else jax.tree_util.tree_map(jnp.add, grads, sg)
+                )
         return loss, grads

@@ -77,12 +77,48 @@ def test_tiled_tau_and_bounces():
         assert (~close).mean() < 0.001, f"mode {mode}: {(~close).mean()}"
 
 
-def test_tiled_rejects_multi_camera():
-    cfg = RenderConfig(num_cameras=2, px_width=16, px_height=8,
-                       marching_steps=4)
-    with pytest.raises(ValueError, match="single camera"):
-        TiledRenderer(registry.make_scene("single_sphere"), cfg,
-                      interpret=True)
+def test_tiled_multi_camera_matches_full():
+    """Multi-camera batches loop (camera, strip) pairs; the whole-image
+    normalizations span the full batch like the one-pass renderers —
+    image parity with the multi-camera FastRenderer, incl. a normalized
+    mode whose bounds must cross cameras."""
+    PXS = 3.45e-6
+    cfg = RenderConfig(
+        num_cameras=2, px_width=64, px_height=40,
+        focal_length=PXS * 40, sensor_width=PXS * 64,
+        sensor_height=PXS * 40, marching_steps=10,
+    )
+    node = registry.make_scene("test_scene2")
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    tr = TiledRenderer(node, cfg, strip_height=16, dtype=jnp.float64,
+                       grid_dtype=np.float64, interpret=True)
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0], [0.1, 0.02, 0.99, 0.01]],
+                    jnp.float64)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = jnp.asarray([[0.0, 0.2, 2.0], [0.2, 0.1, 2.2]], jnp.float64)
+    for mode in (0, 1, 3):  # plain, batch-normalized, per-camera vignette
+        a = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=2))
+        b = tr.render(tr.init_params, q, t, mode=mode, degree=2)
+        assert b.shape == (2, 40, 64, 3)
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11,
+                                   equal_nan=True, err_msg=f"mode {mode}")
+    # gradients accumulate over (camera, strip) pairs too
+    rng = np.random.default_rng(9)
+    target = jnp.asarray(rng.uniform(0, 1, (2, 40, 64, 3)), jnp.float64)
+
+    def full_loss(params):
+        img = f.render(params, q, t, mode=0, degree=2)
+        return jnp.sum((jnp.nan_to_num(img, nan=0.0) - target) ** 2) / target.size
+
+    want_l, want_g = jax.value_and_grad(full_loss)(f.init_params)
+    got_l, got_g = tr.loss_and_grad(tr.init_params, q, t, target, mode=0,
+                                    degree=2)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-12)
+    from ray_marching_tpu.scene.graph import param_paths as pp
+    for k, v in pp(want_g).items():
+        np.testing.assert_allclose(np.asarray(pp(got_g)[k]), np.asarray(v),
+                                   rtol=1e-9, atol=1e-12, err_msg=k)
 
 
 def test_tiled_rejects_bad_strip_height():
