@@ -98,7 +98,9 @@ def main():
         t0 = time.perf_counter()
         for _ in range(args.iters):
             params, opt_state, loss = step(params, opt_state, tgt, q, t)
-        jax.block_until_ready(loss)
+        # Fetch, don't just block: the remote-TPU tunnel can ack
+        # block_until_ready before execution completes (see bench.py).
+        float(loss)
         dt = (time.perf_counter() - t0) / args.iters
         rays = w * h / dt
         results[n] = rays
