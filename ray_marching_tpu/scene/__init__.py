@@ -9,6 +9,12 @@ inlines — no Python recursion survives tracing.
 """
 
 from ray_marching_tpu.scene import graph, primitives, registry
-from ray_marching_tpu.scene.graph import compile_scene
+from ray_marching_tpu.scene.graph import compile_scene, register_custom_node
 
-__all__ = ["graph", "primitives", "registry", "compile_scene"]
+__all__ = [
+    "graph",
+    "primitives",
+    "registry",
+    "compile_scene",
+    "register_custom_node",
+]

@@ -108,6 +108,42 @@ _PRIMITIVE_FNS = {
     Torus: primitives.torus,
 }
 
+# User-extensible SDF leaves: node type -> (compile_fn, init_fn). The
+# in-tree NeuralSDF (scene/neural.py) and Mandelbulb (scene/fractals.py)
+# register themselves through this — third-party nodes use the same door.
+_CUSTOM_NODES: dict = {}
+
+
+def register_custom_node(node_type, compile_fn, init_fn) -> None:
+    """Register a user-defined SDF leaf node type.
+
+    Args:
+        node_type: a frozen-dataclass subclass of :class:`Node` holding the
+            node's STATIC configuration (sizes, iteration counts, seeds —
+            anything baked into the compiled function).
+        compile_fn: ``compile_fn(node) -> f(params, x, y, z) -> d`` — builds
+            the componentwise SDF closure. It must be pure jnp elementwise
+            math (it runs unchanged under jit, grad, AND inside the Pallas
+            mega-kernel, where only Mosaic-lowerable ops are available:
+            no gathers/scatters, no atan2/acos — see scene/fractals.py for
+            an inverse-trig-free example).
+        init_fn: ``init_fn(node, dtype) -> params`` — the node's initial
+            differentiable parameter pytree (a possibly-nested dict of jnp
+            leaves; every leaf is trainable by inverse rendering).
+
+    Registered types serialize to/from scene JSON by their class name like
+    built-in nodes (scene/serialize.py), provided the defining module is
+    imported before loading.
+    """
+    if not (isinstance(node_type, type) and issubclass(node_type, Node)):
+        raise TypeError(f"node_type must subclass Node, got {node_type!r}")
+    _CUSTOM_NODES[node_type] = (compile_fn, init_fn)
+
+
+def custom_node_types():
+    """Registered custom node types, keyed by class name (serialization)."""
+    return {cls.__name__: cls for cls in _CUSTOM_NODES}
+
 
 def init_params(node: Node, dtype=jnp.float32):
     """Build the initial parameter pytree for a scene tree.
@@ -145,10 +181,8 @@ def init_params(node: Node, dtype=jnp.float32):
         return {"rounding": arr(node.rounding), "child": init_params(node.child, dtype)}
     if isinstance(node, Onion):
         return {"radius": arr(node.radius), "child": init_params(node.child, dtype)}
-    from ray_marching_tpu.scene.neural import NeuralSDF, init_neural_params
-
-    if isinstance(node, NeuralSDF):
-        return init_neural_params(node, dtype)
+    if type(node) in _CUSTOM_NODES:
+        return _CUSTOM_NODES[type(node)][1](node, dtype)
     raise TypeError(f"unknown scene node: {node!r}")
 
 
@@ -196,10 +230,8 @@ def compile_node(node: Node) -> Callable:
             return ops.onion(params["radius"], child(params["child"], x, y, z))
 
         return onion_fn
-    from ray_marching_tpu.scene.neural import NeuralSDF, neural_sdf
-
-    if isinstance(node, NeuralSDF):
-        return neural_sdf(node)
+    if type(node) in _CUSTOM_NODES:
+        return _CUSTOM_NODES[type(node)][0](node)
     raise TypeError(f"unknown scene node: {node!r}")
 
 

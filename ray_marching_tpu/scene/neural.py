@@ -108,3 +108,11 @@ def neural_sdf(node: NeuralSDF):
         return base + planes[0]
 
     return evaluate
+
+
+# NeuralSDF goes through the same extensibility door as third-party nodes
+# (graph.register_custom_node); importing this module makes the node
+# compilable, trainable, and JSON-serializable.
+from ray_marching_tpu.scene.graph import register_custom_node  # noqa: E402
+
+register_custom_node(NeuralSDF, neural_sdf, init_neural_params)

@@ -129,6 +129,27 @@ def make_neural_demo() -> Node:
     )
 
 
+@register("mandelbulb")
+def make_mandelbulb() -> Node:
+    """A power-8 Mandelbulb inside the room shell (custom-node capability
+    demo, scene/fractals.py) — an iterated distance-estimated fractal as a
+    first-class scene leaf, marched by the same fused kernels as the
+    analytic scenes. The room (same convention as test_scene2/neural_demo)
+    terminates every ray, keeping miss pixels finite."""
+    from ray_marching_tpu.scene.fractals import Mandelbulb
+
+    return Union(
+        children=(
+            Onion(child=Box(halfsides=(5.0, 5.0, 5.0)), radius=0.1),
+            Affine(
+                child=Mandelbulb(power=8, iterations=10, scale=1.0),
+                orientation=(0.9239, 0.0, 0.3827, 0.0),  # ~45 deg about y
+                translation=(0.0, 0.0, 0.0),
+            ),
+        )
+    )
+
+
 @register("composite")
 def make_composite() -> Node:
     """BASELINE config 2: smooth union of sphere+torus+box under rotations."""

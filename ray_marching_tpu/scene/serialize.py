@@ -18,16 +18,26 @@ import json
 from pathlib import Path
 
 from ray_marching_tpu.scene import graph
-from ray_marching_tpu.scene.neural import NeuralSDF
 
-_NODE_TYPES = {
+# In-tree custom nodes: importing registers them (graph.register_custom_node)
+# so their scene files load without the caller importing anything first.
+# Third-party custom nodes are picked up from the same registry as long as
+# their defining module is imported before load_scene.
+from ray_marching_tpu.scene import fractals as _fractals  # noqa: F401
+from ray_marching_tpu.scene import neural as _neural  # noqa: F401
+
+_BUILTIN_TYPES = {
     cls.__name__: cls
     for cls in (
         graph.Sphere, graph.Box, graph.Plane, graph.Line, graph.Disk,
         graph.Torus, graph.Affine, graph.Union, graph.SmoothUnion,
-        graph.Rounding, graph.Onion, NeuralSDF,
+        graph.Rounding, graph.Onion,
     )
 }
+
+
+def _node_types() -> dict:
+    return {**_BUILTIN_TYPES, **graph.custom_node_types()}
 
 
 def node_to_dict(node: graph.Node) -> dict:
@@ -48,12 +58,13 @@ def node_to_dict(node: graph.Node) -> dict:
 def node_from_dict(data: dict) -> graph.Node:
     data = dict(data)
     type_name = data.pop("type")
+    node_types = _node_types()
     try:
-        cls = _NODE_TYPES[type_name]
+        cls = node_types[type_name]
     except KeyError:
         raise ValueError(
             f"unknown scene node type {type_name!r}; "
-            f"known: {sorted(_NODE_TYPES)}"
+            f"known: {sorted(node_types)}"
         ) from None
     kwargs = {}
     fields = {f.name for f in dataclasses.fields(cls)}

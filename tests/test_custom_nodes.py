@@ -1,0 +1,232 @@
+"""Custom-node registration API (graph.register_custom_node) and the
+Mandelbulb fractal leaf (scene/fractals.py).
+
+The registration door is the extensibility contract: a third-party SDF leaf
+must compile, init its params, render on BOTH pipelines, train, and
+round-trip through scene JSON — exercised here with a minimal in-test
+Ellipsoid and with the in-tree Mandelbulb.
+"""
+
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_marching_tpu.render.fast import FastRenderer
+from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
+from ray_marching_tpu.scene import registry
+from ray_marching_tpu.scene.fractals import (
+    Mandelbulb,
+    _ipow,
+    _unit_complex_ipow,
+    mandelbulb_sdf,
+    init_mandelbulb_params,
+)
+from ray_marching_tpu.scene.graph import (
+    Node,
+    Union,
+    compile_scene,
+    register_custom_node,
+)
+from ray_marching_tpu.scene.serialize import node_from_dict, node_to_dict
+
+
+@dataclass(frozen=True)
+class Ellipsoid(Node):
+    """Minimal third-party leaf: bound-estimate ellipsoid SDF."""
+
+    radii: Tuple[float, float, float] = (1.0, 0.5, 0.25)
+
+
+def _ellipsoid_sdf(node):
+    def evaluate(params, x, y, z):
+        rx, ry, rz = params["radii"][0], params["radii"][1], params["radii"][2]
+        k0 = jnp.sqrt((x / rx) ** 2 + (y / ry) ** 2 + (z / rz) ** 2)
+        k1 = jnp.sqrt((x / rx**2) ** 2 + (y / ry**2) ** 2 + (z / rz**2) ** 2)
+        k1 = jnp.where(k1 < 1e-12, 1e-12, k1)
+        return k0 * (k0 - 1.0) / k1
+
+    return evaluate
+
+
+def _ellipsoid_init(node, dtype):
+    return {"radii": jnp.asarray(node.radii, dtype=dtype)}
+
+
+register_custom_node(Ellipsoid, _ellipsoid_sdf, _ellipsoid_init)
+
+
+def _cfg(w=64, h=48, steps=32, **kw):
+    px = 3.45e-6
+    return RenderConfig(
+        px_width=w, px_height=h, focal_length=px * h,
+        sensor_width=px * w, sensor_height=px * h, marching_steps=steps, **kw
+    )
+
+
+POSE = (
+    jnp.asarray([[0.0, 0.0, 1.0, 0.0]]),
+    jnp.asarray([[0.0, 0.0, 2.2]]),
+)
+
+
+def test_register_rejects_non_node():
+    with pytest.raises(TypeError):
+        register_custom_node(int, lambda n: None, lambda n, d: {})
+
+
+def test_custom_leaf_compiles_and_evaluates():
+    _, sdf_c, params = compile_scene(Ellipsoid())
+    # On-axis distances of an axis-aligned ellipsoid are exact.
+    assert float(sdf_c(params, jnp.asarray(2.0), jnp.asarray(0.0), jnp.asarray(0.0))) == pytest.approx(1.0, abs=1e-6)
+    assert float(sdf_c(params, jnp.asarray(0.0), jnp.asarray(1.5), jnp.asarray(0.0))) == pytest.approx(1.0, abs=1e-6)
+    assert float(sdf_c(params, jnp.asarray(0.5), jnp.asarray(0.0), jnp.asarray(0.0))) < 0.0
+
+
+def test_custom_leaf_composes_and_params_train():
+    """The leaf participates in CSG and its params take gradients."""
+    scene = Union(children=(Ellipsoid(), registry.make_scene("single_sphere")))
+    _, sdf_c, params = compile_scene(scene)
+
+    def loss(p):
+        return sdf_c(p, jnp.asarray(2.0), jnp.asarray(0.1), jnp.asarray(0.1))
+
+    g = jax.grad(loss)(params)
+    assert np.all(np.isfinite(np.asarray(g["c0"]["radii"])))
+    assert np.any(np.asarray(g["c0"]["radii"]) != 0.0)
+
+
+def test_custom_leaf_renders_both_pipelines():
+    scene = Ellipsoid()
+    q, t = POSE
+    rm = Renderer(scene, _cfg(), dtype=jnp.float64)
+    rf = FastRenderer(scene, _cfg(), dtype=jnp.float64)
+    a = np.asarray(jax.jit(lambda: rm.render(rm.init_params, q, t, mode=0, degree=2))())
+    b = np.asarray(jax.jit(lambda: rf.render(rf.init_params, q, t, mode=0, degree=2))())
+    assert np.isfinite(a[np.isfinite(a)]).any()
+    close = np.isclose(a, b, rtol=1e-9, atol=1e-11, equal_nan=True)
+    assert close.mean() > 0.99
+
+
+def test_custom_leaf_serializes():
+    scene = Union(children=(Ellipsoid(radii=(0.5, 0.25, 0.75)),))
+    back = node_from_dict(node_to_dict(scene))
+    assert back == scene
+
+
+# ---------------------------------------------------------------------------
+# Mandelbulb
+# ---------------------------------------------------------------------------
+
+
+def test_de_moivre_matches_trig():
+    """Binary-exponentiation de Moivre == sin/cos(n·a) (the inverse-trig-free
+    identity the Mosaic path depends on)."""
+    a = jnp.linspace(-3.0, 3.0, 257, dtype=jnp.float64)
+    for n in (2, 3, 7, 8):
+        c, s = _unit_complex_ipow(jnp.cos(a), jnp.sin(a), n)
+        np.testing.assert_allclose(np.asarray(c), np.cos(n * np.asarray(a)), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(s), np.sin(n * np.asarray(a)), atol=1e-12)
+    x = jnp.linspace(0.1, 1.9, 64, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(_ipow(x, 7)), np.asarray(x) ** 7, rtol=1e-13)
+
+
+def test_mandelbulb_sign_structure():
+    node = Mandelbulb(power=8, iterations=12)
+    f = mandelbulb_sdf(node)
+    p = init_mandelbulb_params(node, jnp.float64)
+    inside = float(f(p, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0)))
+    near = float(f(p, jnp.asarray(0.5), jnp.asarray(0.0), jnp.asarray(0.0)))
+    far = float(f(p, jnp.asarray(2.5), jnp.asarray(0.0), jnp.asarray(0.0)))
+    assert inside <= 0.0
+    assert near < 0.0  # 0.5 on the x-axis is inside the bulb
+    assert 0.5 < far < 2.0  # underestimating distance, roughly |p| - 1.2
+
+
+def test_mandelbulb_de_underestimates():
+    """Sphere-tracing safety: stepping by f(p) from outside must not cross
+    the surface (f stays >= 0 along the ray until convergence)."""
+    node = Mandelbulb(power=8, iterations=12)
+    f = mandelbulb_sdf(node)
+    p = init_mandelbulb_params(node, jnp.float64)
+    rng = np.random.default_rng(3)
+    dirs = rng.normal(size=(64, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pos = jnp.asarray(-2.5 * dirs)  # start outside, aim at the origin
+    v = jnp.asarray(dirs)
+    for _ in range(96):
+        d = f(p, pos[:, 0], pos[:, 1], pos[:, 2])
+        # The estimator may overshoot by ~1e-5 near the fractal boundary
+        # (finite iterations; the 0.5 potential factor is the usual safety
+        # margin, not a guarantee) — what must never happen is a deep
+        # punch-through.
+        assert np.asarray(d).min() > -1e-3, "marched through the surface"
+        pos = pos + d[:, None] * v
+    # most rays aimed at the bulb centre should be closing on the surface
+    # (the DE underestimates heavily near the fractal boundary, so
+    # convergence is slow — safety, not speed, is the contract here)
+    d_end = np.asarray(f(p, pos[:, 0], pos[:, 1], pos[:, 2]))
+    assert (np.abs(d_end) < 1e-2).mean() > 0.95
+
+
+def test_mandelbulb_scale_gradient():
+    node = Mandelbulb(power=8, iterations=8)
+    f = mandelbulb_sdf(node)
+    p = init_mandelbulb_params(node, jnp.float64)
+
+    def at(pp, s=2.0):
+        return f(pp, jnp.asarray(s), jnp.asarray(0.3), jnp.asarray(0.1))
+
+    g = float(jax.grad(at)(p)["scale"])
+    # scaling the bulb up moves the surface toward an outside point
+    assert np.isfinite(g) and g < 0.0
+    # finite-difference agreement (outside points are smooth in scale)
+    eps = 1e-6
+    fd = (float(at({"scale": jnp.asarray(1.0 + eps, jnp.float64)}))
+          - float(at({"scale": jnp.asarray(1.0 - eps, jnp.float64)}))) / (2 * eps)
+    assert g == pytest.approx(fd, rel=1e-4)
+
+
+def test_mandelbulb_scene_parity_fast_vs_modular():
+    """Fast (interpret Pallas kernel) vs modular pixels on the registry
+    scene. The fractal boundary is chaotic — grazing rays legitimately
+    diverge between any two fp evaluation orders (CLAUDE.md stability
+    rule), so assert a high agree fraction, not allclose."""
+    scene = registry.make_scene("mandelbulb")
+    q, t = POSE
+    cfg = _cfg(w=96, h=64, steps=48)
+    rm = Renderer(scene, cfg, dtype=jnp.float64)
+    rf = FastRenderer(scene, cfg, dtype=jnp.float64)
+    a = np.asarray(jax.jit(lambda: rm.render(rm.init_params, q, t, mode=0, degree=2))())
+    b = np.asarray(jax.jit(lambda: rf.render(rf.init_params, q, t, mode=0, degree=2))())
+    assert np.isfinite(a).all()
+    close = np.isclose(a, b, rtol=1e-9, atol=1e-11)
+    assert close.mean() > 0.98
+
+
+def test_mandelbulb_render_gradient_finite():
+    scene = registry.make_scene("mandelbulb")
+    q, t = POSE
+    rm = Renderer(scene, _cfg(steps=24), dtype=jnp.float64)
+
+    def loss(p):
+        return jnp.mean(rm.render(p, q, t, mode=0, degree=2))
+
+    g = jax.jit(jax.grad(loss))(rm.init_params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_mandelbulb_serializes():
+    scene = registry.make_scene("mandelbulb")
+    back = node_from_dict(node_to_dict(scene))
+    assert back == scene
+
+
+def test_mandelbulb_power_validation():
+    with pytest.raises(ValueError):
+        mandelbulb_sdf(Mandelbulb(power=1))
