@@ -11,13 +11,13 @@ meshes.
 from ray_marching_tpu import quat
 from ray_marching_tpu.camera import Camera
 from ray_marching_tpu.scene import graph, registry
-from ray_marching_tpu.scene.graph import compile_scene
+from ray_marching_tpu.scene.graph import compile_scene, register_custom_node
 from ray_marching_tpu.scene.serialize import load_scene, save_scene
 from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
 from ray_marching_tpu.render.fast import FastRenderer
 from ray_marching_tpu.render.tiled import TiledRenderer
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # keep in sync with pyproject.toml
 
 __all__ = [
     "quat",
@@ -25,6 +25,7 @@ __all__ = [
     "graph",
     "registry",
     "compile_scene",
+    "register_custom_node",
     "load_scene",
     "save_scene",
     "Renderer",

@@ -221,6 +221,40 @@ def test_mandelbulb_render_gradient_finite():
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+def test_mandelbulb_scale_trains_by_inverse_rendering():
+    """The custom leaf's parameter actually optimizes through the renderer:
+    recover the bulb's scale from a target image. The fractal loss surface
+    is noisy (chaotic silhouettes), so assert the error at least halves."""
+    import optax
+
+    cfg = _cfg(w=48, h=32, steps=24)
+    scene = registry.make_scene("mandelbulb")
+    r = Renderer(scene, cfg, dtype=jnp.float64)
+    q, t = POSE
+    target = jax.jit(lambda p: r.render(p, q, t, mode=0, degree=2))(r.init_params)
+
+    p = jax.tree.map(lambda a: a, r.init_params)
+    p["c1"]["child"]["scale"] = jnp.asarray(0.85, jnp.float64)
+
+    def loss_fn(p):
+        img = r.render(p, q, t, mode=0, degree=2)
+        return jnp.mean((img - target) ** 2)
+
+    opt = optax.adam(2e-2)
+    state = opt.init(p)
+
+    @jax.jit
+    def step(p, state):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, state = opt.update(g, state, p)
+        return optax.apply_updates(p, updates), state, loss
+
+    for _ in range(40):
+        p, state, loss = step(p, state)
+    err = abs(float(p["c1"]["child"]["scale"]) - 1.0)
+    assert err < 0.075, f"scale error {err} did not halve from 0.15"
+
+
 def test_mandelbulb_serializes():
     scene = registry.make_scene("mandelbulb")
     back = node_from_dict(node_to_dict(scene))
