@@ -94,7 +94,9 @@ def main():
             tgt = fs.target_planes(renderer, mesh, target)
         opt_state = optimizer.init(renderer.init_params)
         params, opt_state, loss = step(renderer.init_params, opt_state, tgt, q, t)
-        jax.block_until_ready(loss)
+        # Fetch, not block: warmup must fully complete before timing starts
+        # (the remote tunnel can ack block_until_ready early — bench.py).
+        float(loss)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             params, opt_state, loss = step(params, opt_state, tgt, q, t)

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ray_marching_tpu.scene.graph import Node, register_custom_node
 
-_EPS = 1e-12
+_EPS2 = 1e-24  # squared-radius guard, applied BEFORE sqrt (backward NaNs)
 
 
 @dataclass(frozen=True)
@@ -95,6 +95,10 @@ def mandelbulb_sdf(node: Mandelbulb):
     bail2 = float(node.escape_radius) ** 2
     if n < 2:
         raise ValueError(f"Mandelbulb power must be >= 2, got {n}")
+    # Containment radius of the triplex-power set: if |c| > 2^(1/(n-1)) then
+    # z = c already satisfies |z^n + c| >= |c|(|c|^(n-1) - 1) > |c| and the
+    # orbit diverges, so the set lies inside this sphere.
+    set_radius = 2.0 ** (1.0 / (n - 1))
 
     def evaluate(params, x, y, z):
         s = params["scale"]
@@ -103,16 +107,19 @@ def mandelbulb_sdf(node: Mandelbulb):
         zx, zy, zz = cx, cy, cz
         dr = jnp.ones_like(x)
         r2 = zx * zx + zy * zy + zz * zz
+        # Guard BEFORE the sqrt: sqrt(0)'s VJP is g/(2*sqrt(0)) = inf, and a
+        # where AFTER the sqrt cannot kill it (the 0*NaN backward gotcha,
+        # CLAUDE.md) — on-axis/origin evaluations must stay NaN-free in the
+        # backward, not just the primal.
+        r0 = jnp.sqrt(jnp.where(r2 < _EPS2, _EPS2, r2))
         one = jnp.ones_like(x)
         for _ in range(iters):
             live = r2 <= bail2
-            r = jnp.sqrt(r2)
-            rg = jnp.where(r < _EPS, _EPS, r)
+            rg = jnp.sqrt(jnp.where(r2 < _EPS2, _EPS2, r2))
             rxy2 = zx * zx + zy * zy
-            rxy = jnp.sqrt(rxy2)
-            on_axis = rxy < _EPS
-            rxyg = jnp.where(on_axis, _EPS, rxy)
-            ct, st = zz / rg, rxy / rg
+            on_axis = rxy2 < _EPS2
+            rxyg = jnp.sqrt(jnp.where(on_axis, _EPS2, rxy2))
+            ct, st = zz / rg, rxyg / rg
             cp = jnp.where(on_axis, one, zx / rxyg)
             sp = jnp.where(on_axis, jnp.zeros_like(x), zy / rxyg)
             ctn, stn = _unit_complex_ipow(ct, st, n)
@@ -125,9 +132,18 @@ def mandelbulb_sdf(node: Mandelbulb):
             zz = jnp.where(live, rn * ctn + cz, zz)
             dr = jnp.where(live, dr_new, dr)
             r2 = zx * zx + zy * zy + zz * zz
-        r = jnp.sqrt(r2)
-        rg = jnp.where(r < _EPS, _EPS, r)
-        return 0.5 * jnp.log(rg) * rg / dr * s
+        rg = jnp.sqrt(jnp.where(r2 < _EPS2, _EPS2, r2))
+        de = 0.5 * jnp.log(rg) * rg / dr
+        # Far field: for query points that escape immediately (dr == 1) the
+        # potential estimate 0.5*r*ln(r) OVERSHOOTS the true distance once
+        # r >~ 4.8 (it grows superlinearly), so sphere tracing would punch
+        # through. The set is contained in |p| <= set_radius, making
+        # r - set_radius a guaranteed underestimate — bind it outside the
+        # bailout sphere (select-form min keeps the backward NaN-free).
+        bound = r0 - set_radius
+        far = jnp.where(de < bound, de, bound)
+        de = jnp.where(r0 > node.escape_radius, far, de)
+        return de * s
 
     return evaluate
 

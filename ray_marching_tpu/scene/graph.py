@@ -137,12 +137,41 @@ def register_custom_node(node_type, compile_fn, init_fn) -> None:
     """
     if not (isinstance(node_type, type) and issubclass(node_type, Node)):
         raise TypeError(f"node_type must subclass Node, got {node_type!r}")
+    # Scene JSON addresses nodes by bare class name — catch shadowing at
+    # registration time instead of silently mis-deserializing later.
+    name = node_type.__name__
+    builtin_names = {
+        cls.__name__
+        for cls in (Sphere, Box, Plane, Line, Disk, Torus, Affine, Union,
+                    SmoothUnion, Rounding, Onion)
+    }
+    clash = next(
+        (c for c in _CUSTOM_NODES if c.__name__ == name and c is not node_type),
+        None,
+    )
+    if name in builtin_names or clash is not None:
+        other = "a built-in node" if name in builtin_names else f"{clash!r}"
+        raise ValueError(
+            f"custom node name {name!r} collides with {other}; scene "
+            f"serialization is keyed by class name — rename the class"
+        )
     _CUSTOM_NODES[node_type] = (compile_fn, init_fn)
 
 
 def custom_node_types():
     """Registered custom node types, keyed by class name (serialization)."""
     return {cls.__name__: cls for cls in _CUSTOM_NODES}
+
+
+def _custom_entry(node):
+    """Registry entry for a node, honoring subclassing (isinstance
+    semantics, like the pre-registry NeuralSDF dispatch): the most-derived
+    registered base wins."""
+    for base in type(node).__mro__:
+        entry = _CUSTOM_NODES.get(base)
+        if entry is not None:
+            return entry
+    return None
 
 
 def init_params(node: Node, dtype=jnp.float32):
@@ -181,8 +210,9 @@ def init_params(node: Node, dtype=jnp.float32):
         return {"rounding": arr(node.rounding), "child": init_params(node.child, dtype)}
     if isinstance(node, Onion):
         return {"radius": arr(node.radius), "child": init_params(node.child, dtype)}
-    if type(node) in _CUSTOM_NODES:
-        return _CUSTOM_NODES[type(node)][1](node, dtype)
+    entry = _custom_entry(node)
+    if entry is not None:
+        return entry[1](node, dtype)
     raise TypeError(f"unknown scene node: {node!r}")
 
 
@@ -230,8 +260,9 @@ def compile_node(node: Node) -> Callable:
             return ops.onion(params["radius"], child(params["child"], x, y, z))
 
         return onion_fn
-    if type(node) in _CUSTOM_NODES:
-        return _CUSTOM_NODES[type(node)][0](node)
+    entry = _custom_entry(node)
+    if entry is not None:
+        return entry[0](node)
     raise TypeError(f"unknown scene node: {node!r}")
 
 
