@@ -118,9 +118,13 @@ def _build_renderer(args):
 
 
 def _parse_mode(spec):
-    """Shader mode from a name ('spin') or an index string ('7')."""
+    """Shader mode from a name ('spin'), an extra lighting mode name
+    ('occlusion'/'shaded' — render/lighting.py), or an index string ('7')."""
+    from ray_marching_tpu.render.lighting import EXTRA_MODES
     from ray_marching_tpu.render.shaders import MODES
 
+    if spec in EXTRA_MODES:
+        return spec
     return MODES.index(spec) if spec in MODES else int(spec)
 
 

@@ -102,7 +102,7 @@ def make_channel_fn(fast, mesh: Mesh, *, mode: int = 0, degree: int = 1,
             )
         channels = fast._shade(
             mode, degree, q, origin, final_dirs, hit,
-            valid_b=valid > 0.5, axis_names=axes, cameras=1,
+            valid_b=valid > 0.5, axis_names=axes, cameras=1, params=params,
         )
         if with_alpha:
             channels = list(channels) + [soft_coverage(minf, beta)]

@@ -36,7 +36,7 @@ from ray_marching_tpu.ops.pallas_render import (
     fused_march_normals_cov_ift,
     fused_march_normals_ift,
 )
-from ray_marching_tpu.render import shaders
+from ray_marching_tpu.render import lighting, shaders
 from ray_marching_tpu.render.pipeline import RenderConfig
 from ray_marching_tpu.scene.graph import Node, compile_scene
 from ray_marching_tpu.utils import clamp, prmax, prmin, rmax, rmin
@@ -209,7 +209,8 @@ class FastRenderer:
         dummies."""
         x, y, z, d = hit[0], hit[1], hit[2], hit[3]
         lap = hit[7]
-        name = shaders.MODES[mode % len(shaders.MODES)]
+        name = mode if isinstance(mode, str) \
+            else shaders.MODES[mode % len(shaders.MODES)]
         if name == "distance":
             ox, oy, oz = origin
             dist = jnp.sqrt((ox - x) ** 2 + (oy - y) ** 2 + (oz - z) ** 2)
@@ -247,7 +248,8 @@ class FastRenderer:
         return [brightness * c for c in cols]
 
     def _shade(self, mode, degree, orientation, origin, dirs, hit,
-               valid_b=None, axis_names=(), cameras=None, norm_bounds=None):
+               valid_b=None, axis_names=(), cameras=None, norm_bounds=None,
+               params=None):
         """Componentwise shaders on planes; returns [r, g, b] planes.
 
         ``valid_b``/``axis_names`` override the global-normalization mask
@@ -255,10 +257,22 @@ class FastRenderer:
         overrides the camera count (a shard is always one camera — pass 1
         with that camera's ``orientation`` row). ``norm_bounds`` replaces
         the in-batch global min/max with precomputed whole-image bounds
-        (:meth:`norm_bounds` — tiled rendering's pass 2)."""
+        (:meth:`norm_bounds` — tiled rendering's pass 2). ``params`` is
+        only needed by the extra lighting modes (they re-query the SDF)."""
         x, y, z, d, nx, ny, nz, lap = hit
         dx, dy, dz = dirs
-        name = shaders.MODES[mode % len(shaders.MODES)]
+        name = mode if isinstance(mode, str) \
+            else shaders.MODES[mode % len(shaders.MODES)]
+        if name in lighting.EXTRA_MODES:
+            if params is None:
+                raise ValueError(
+                    f"mode {name!r} needs scene params (extra SDF queries)"
+                )
+            v = lighting.shade_extra(
+                name, self.sdf_c, params, (x, y, z), (nx, ny, nz),
+                self.config,
+            )
+            return [v, v, v]
         if name == "lambertian":
             v = clamp(-(dx * nx + dy * ny + dz * nz), 0.0, 1.0)
             return [v, v, v]
@@ -383,7 +397,7 @@ class FastRenderer:
         origin, dirs = self._pose_planes(orientation, translation)
         hit, final_dirs = self._march_planes(params, origin, dirs, steps)
         channels = self._shade(
-            mode, degree, orientation, origin, final_dirs, hit
+            mode, degree, orientation, origin, final_dirs, hit, params=params
         )
         return self._assemble(channels)
 
@@ -413,7 +427,7 @@ class FastRenderer:
             params, origin, dirs, steps, with_closest=True
         )
         channels = self._shade(
-            mode, degree, orientation, origin, final_dirs, hit
+            mode, degree, orientation, origin, final_dirs, hit, params=params
         )
         image = self._assemble(channels)
         alpha = self._assemble([soft_coverage(minf, beta)])
@@ -464,7 +478,8 @@ class FastRenderer:
         h, w = cfg.px_height, cfg.px_width
         images = {}
         for mode, name in enumerate(shaders.MODES):
-            channels = self._shade(mode, degree, orientation, origin, dirs, hit)
+            channels = self._shade(mode, degree, orientation, origin, dirs,
+                                   hit, params=params)
             images[name] = self._assemble(channels)
         return images
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ray_marching_tpu.camera import Camera, CameraConfig
+from ray_marching_tpu.render import lighting
 from ray_marching_tpu.render import march as march_mod
 from ray_marching_tpu.render import shaders
 from ray_marching_tpu.render.normals import NormalsEstimator, autodiff_normals
@@ -63,6 +64,16 @@ class RenderConfig:
     reflection_bounces: int = 0
     use_autodiff_normals: bool = False
     use_pallas: bool = False
+    # Extra lighting modes beyond the reference's eight, dispatched by NAME
+    # (mode="occlusion" / mode="shaded"; render/lighting.py). Integer modes
+    # keep the reference's mode % 8 wraparound untouched.
+    light_direction: tuple = (0.4, 0.7, 0.6)  # surface → light, normalized at use
+    ambient: float = 0.15
+    ao_samples: int = 5
+    ao_step: float = 0.05
+    ao_strength: float = 1.0
+    shadow_steps: int = 16
+    shadow_sharpness: float = 16.0
     # Gather-free tangent/spin colourmap: evaluate an 8-harmonic Fourier
     # fit of the cyclic map (max err 0.02/255 vs the exact (4096, 3) table
     # gather, which golden parity pins — hence opt-in). Pure VPU math; the
@@ -109,7 +120,9 @@ class Renderer:
             params: scene parameter pytree (differentiable).
             orientation: (N, 4) camera unit quaternions (differentiable).
             translation: (N, 3) camera positions (differentiable).
-            mode: static shader index (0..7, wraps mod 8).
+            mode: static shader index (0..7, wraps mod 8 — reference
+                semantics), or an extra lighting mode by name
+                ("occlusion" / "shaded", render/lighting.py).
             degree: winding degree for tangent/spin colouring.
             marching_steps: static step count (defaults to config).
             axis_names: mesh axes to extend the shaders' global min/max
@@ -147,21 +160,29 @@ class Renderer:
             surface_normals, surface_laplacian = self.normals(
                 self.sdf_vec, params, surface_coords
             )
-        image = shaders.shade(
-            mode,
-            px_coords=pixel_pos,
-            camera_orientation=orientation,
-            pixel_frames=pixel_frames,
-            ray_directions=ray_dirs,
-            surface_coords=surface_coords,
-            surface_normals=surface_normals,
-            surface_laplacian=surface_laplacian,
-            surface_distances=surface_distances,
-            cyclic_cmap=self.cyclic_cmap,
-            cmap_coeffs=self.cmap_coeffs,
-            degree=degree,
-            axis_names=axis_names,
-        )
+        if isinstance(mode, str) and mode in lighting.EXTRA_MODES:
+            image = lighting.shade_extra(
+                mode, self.sdf_c, params,
+                tuple(surface_coords[..., i] for i in range(3)),
+                tuple(surface_normals[..., i] for i in range(3)),
+                self.config,
+            )[..., None]
+        else:
+            image = shaders.shade(
+                mode,
+                px_coords=pixel_pos,
+                camera_orientation=orientation,
+                pixel_frames=pixel_frames,
+                ray_directions=ray_dirs,
+                surface_coords=surface_coords,
+                surface_normals=surface_normals,
+                surface_laplacian=surface_laplacian,
+                surface_distances=surface_distances,
+                cyclic_cmap=self.cyclic_cmap,
+                cmap_coeffs=self.cmap_coeffs,
+                degree=degree,
+                axis_names=axis_names,
+            )
         h, w = self.config.px_height, self.config.px_width
         return jnp.broadcast_to(image, (image.shape[0], h, w, 3))
 
@@ -216,21 +237,29 @@ class Renderer:
         surface_normals, surface_laplacian = self.normals(
             self.sdf_vec, params, surface_coords
         )
-        image = shaders.shade(
-            mode,
-            px_coords=pixel_pos,
-            camera_orientation=orientation,
-            pixel_frames=pixel_frames,
-            ray_directions=ray_dirs,
-            surface_coords=surface_coords,
-            surface_normals=surface_normals,
-            surface_laplacian=surface_laplacian,
-            surface_distances=surface_distances,
-            cyclic_cmap=self.cyclic_cmap,
-            cmap_coeffs=self.cmap_coeffs,
-            degree=degree,
-            axis_names=axis_names,
-        )
+        if isinstance(mode, str) and mode in lighting.EXTRA_MODES:
+            image = lighting.shade_extra(
+                mode, self.sdf_c, params,
+                tuple(surface_coords[..., i] for i in range(3)),
+                tuple(surface_normals[..., i] for i in range(3)),
+                self.config,
+            )[..., None]
+        else:
+            image = shaders.shade(
+                mode,
+                px_coords=pixel_pos,
+                camera_orientation=orientation,
+                pixel_frames=pixel_frames,
+                ray_directions=ray_dirs,
+                surface_coords=surface_coords,
+                surface_normals=surface_normals,
+                surface_laplacian=surface_laplacian,
+                surface_distances=surface_distances,
+                cyclic_cmap=self.cyclic_cmap,
+                cmap_coeffs=self.cmap_coeffs,
+                degree=degree,
+                axis_names=axis_names,
+            )
         h, w = cfg.px_height, cfg.px_width
         image = jnp.broadcast_to(image, (image.shape[0], h, w, 3))
         return image, soft_coverage(min_f, beta)

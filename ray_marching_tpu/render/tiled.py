@@ -124,7 +124,7 @@ class TiledRenderer:
             origin, dirs, hit = march(params, q, t, pos0, dir0, valid)
             channels = fast._shade(
                 mode, degree, q, origin, dirs, hit, valid_b=valid > 0.5,
-                norm_bounds=bounds,
+                norm_bounds=bounds, params=params,
             )
             return fast._assemble(channels)
 
@@ -250,7 +250,7 @@ class TiledRenderer:
                     name: fast._assemble(
                         fast._shade(
                             m, degree, q, origin, dirs, hit, valid_b=vb,
-                            norm_bounds=bounds.get(m),
+                            norm_bounds=bounds.get(m), params=params,
                         )
                     )
                     for m, name in enumerate(shaders.MODES)
