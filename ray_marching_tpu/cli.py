@@ -60,6 +60,27 @@ def _add_render_args(p):
                    help="enable the persistent compilation cache (default "
                         "dir ~/.cache/ray_marching_tpu/jax_cache) — later "
                         "processes skip the 30-70s first TPU compile")
+    p.add_argument("--params", default=None, metavar="CKPT",
+                   help="scene-parameter checkpoint (.npz from "
+                        "`optimize --save-params`) to render/optimize with "
+                        "instead of the scene's initial parameters — the "
+                        "optimize→view loop (reference README.md:22-23)")
+
+
+def _initial_params(args, renderer):
+    """Scene params for a command: the --params checkpoint when given
+    (validated against this scene's pytree structure/shapes), otherwise the
+    renderer's initial parameters."""
+    path = getattr(args, "params", None)
+    if not path:
+        return renderer.init_params
+    from pathlib import Path
+
+    from ray_marching_tpu.io.checkpoint import load_pytree
+
+    if not Path(path).exists():
+        raise SystemExit(f"error: params checkpoint not found: {path}")
+    return load_pytree(path, renderer.init_params)
 
 
 def _build_renderer(args):
@@ -140,13 +161,12 @@ def _parse_pose(spec, dtype):
 
 def cmd_render(args):
     from ray_marching_tpu.io.image import write_png
-    from ray_marching_tpu.render.shaders import MODES
 
     renderer = _build_renderer(args)
     q, t = _parse_pose(args.pose, renderer.dtype)
     mode = _parse_mode(args.mode)
     image = renderer.jitted(mode=mode, degree=args.degree)(
-        renderer.init_params, q, t
+        _initial_params(args, renderer), q, t
     )
     path = write_png(args.out, image)
     print(f"wrote {path}")
@@ -156,27 +176,28 @@ def cmd_gallery(args):
     from pathlib import Path
 
     from ray_marching_tpu.io.image import write_png
-    from ray_marching_tpu.render.shaders import MODES
 
     renderer = _build_renderer(args)
     q, t = _parse_pose(args.pose, renderer.dtype)
+    params = _initial_params(args, renderer)
     from ray_marching_tpu.render.tiled import TiledRenderer
 
+    extras = not args.no_extras
     if isinstance(renderer, TiledRenderer):
         # Host-side strip loop (each pass jitted internally).
         images = renderer.render_all_modes(
-            renderer.init_params, q, t, degree=args.degree
+            params, q, t, degree=args.degree, extras=extras
         )
     else:
         import jax
 
         fn = jax.jit(
             lambda p, q, t: renderer.render_all_modes(
-                p, q, t, degree=args.degree
+                p, q, t, degree=args.degree, extras=extras
             )
         )
-        images = fn(renderer.init_params, q, t)
-    for name in MODES:
+        images = fn(params, q, t)
+    for name in images:
         path = write_png(Path(args.out) / f"{name}.png", images[name])
         print(f"wrote {path}")
 
@@ -222,7 +243,10 @@ def cmd_optimize(args):
         checkpoint_dir=args.checkpoint_dir,
         metrics_path=args.metrics,
     )
-    out = optimize(renderer, target, q, t, cfg)
+    # --params warm-starts training from a saved checkpoint (fresh
+    # optimizer state; --checkpoint-dir resume restores both).
+    out = optimize(renderer, target, q, t, cfg,
+                   init_params=_initial_params(args, renderer))
     print(f"final loss: {out['losses'][-1]:.3e} after {out['steps_run']} steps")
     if args.save_params:
         from ray_marching_tpu.io.checkpoint import save_pytree
@@ -332,8 +356,22 @@ def cmd_interactive(args):
     elif args.display == "kitty":
         # Pixel-perfect preview via the kitty graphics protocol.
         sink = MultiSink(KittySink(), sink)
+    # Scroll cycle: the 8 reference modes, plus the named lighting modes
+    # when --all-modes or when the initial --mode is one of them.
+    from ray_marching_tpu.render.lighting import EXTRA_MODES
+
+    mode0 = _parse_mode(args.mode)
+    modes = list(range(8))
+    if args.all_modes or isinstance(mode0, str):
+        modes += list(EXTRA_MODES)
+    start = modes.index(mode0 if isinstance(mode0, str) else mode0 % 8)
+    from ray_marching_tpu.control import SessionState
+
     camera, session, frames = run_viewer(
         renderer, source, sink, max_frames=args.frames,
+        params=_initial_params(args, renderer),
+        modes=modes,
+        session=SessionState(mode=start, marching_steps=args.steps),
         # Per-frame stdout lines corrupt the repaint-in-place cursor math
         # of BOTH terminal sinks (TerminalSink's relative cursor-up and
         # KittySink's saved-cursor restore).
@@ -367,13 +405,13 @@ def cmd_bench(args):
 
 def cmd_export(args):
     from ray_marching_tpu.io.export import export_render
-    from ray_marching_tpu.render.shaders import MODES
 
     renderer = _build_renderer(args)
     mode = _parse_mode(args.mode)
     platforms = args.platforms.split(",") if args.platforms else None
     path = export_render(renderer, args.out, mode=mode, degree=args.degree,
-                         platforms=platforms)
+                         platforms=platforms,
+                         params=_initial_params(args, renderer))
     print(f"wrote {path}")
 
 
@@ -404,11 +442,26 @@ def cmd_profile(args):
 
     renderer = _build_renderer(args)
     q, t = _parse_pose(args.pose, renderer.dtype)
-    fn = renderer.jitted(mode=0, degree=args.degree)
-    fn(renderer.init_params, q, t)  # compile outside the trace
+    params = _initial_params(args, renderer)
+    if args.grad:
+        # Forward+backward under the trace: MSE-vs-zero loss, params +
+        # pose cotangents — the bench.py fwd+bwd workload's op mix.
+        import jax.numpy as jnp
+
+        base = renderer.jitted(mode=args.profile_mode, degree=args.degree)
+
+        def loss(p, q, t):
+            img = base(p, q, t)
+            return jnp.mean(jnp.square(jnp.nan_to_num(img, nan=0.0)))
+
+        grad_fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+        fn = lambda p, q, t: grad_fn(p, q, t)[0]
+    else:
+        fn = renderer.jitted(mode=args.profile_mode, degree=args.degree)
+    fn(params, q, t)  # compile outside the trace
     with jax.profiler.trace(args.out):
         for _ in range(args.frames):
-            out = fn(renderer.init_params, q, t)
+            out = fn(params, q, t)
         jax.block_until_ready(out)
     print(f"wrote TensorBoard/XPlane trace to {args.out}")
 
@@ -428,8 +481,12 @@ def main(argv=None):
                         "bigger than one device pass, e.g. 8K/16K posters")
     p.set_defaults(fn=cmd_render)
 
-    p = sub.add_parser("gallery", help="render all 8 shader modes")
+    p = sub.add_parser("gallery", help="render all shader modes (8 "
+                                       "reference + occlusion/shaded)")
     _add_render_args(p)
+    p.add_argument("--no-extras", action="store_true",
+                   help="only the 8 reference modes (skip the named "
+                        "lighting modes)")
     p.add_argument("-o", "--out", default="gallery_out")
     p.add_argument("--strip-height", type=int, default=None, metavar="ROWS",
                    help="render each mode in horizontal strips (galleries "
@@ -452,6 +509,12 @@ def main(argv=None):
 
     p = sub.add_parser("interactive", help="interactive / orbit frame loop")
     _add_render_args(p)
+    p.add_argument("--mode", default="lambertian",
+                   help="initial shader: name, index (0..7), or a named "
+                        "lighting mode (occlusion/shaded)")
+    p.add_argument("--all-modes", action="store_true",
+                   help="include the named lighting modes in the "
+                        "scroll-wheel mode cycle (10 modes instead of 8)")
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--orbit", action="store_true",
                    help="scripted orbit instead of mouse/keyboard")
@@ -507,6 +570,11 @@ def main(argv=None):
     p = sub.add_parser("profile", help="write a jax.profiler trace")
     _add_render_args(p)
     p.add_argument("--frames", type=int, default=10)
+    p.add_argument("--grad", action="store_true",
+                   help="trace forward+backward (value_and_grad of an MSE "
+                        "loss) instead of forward only")
+    p.add_argument("--profile-mode", type=int, default=0,
+                   help="shader mode index to profile")
     p.add_argument("-o", "--out", default="/tmp/rm_tpu_trace")
     p.set_defaults(fn=cmd_profile)
 

@@ -40,14 +40,16 @@ def _flatten_params(tree):
 
 
 def export_render(renderer, path, *, mode: int = 0, degree: int = 1,
-                  marching_steps=None, platforms=None) -> Path:
+                  marching_steps=None, platforms=None, params=None) -> Path:
     """Export one shader mode of a renderer as a serving artifact.
 
     The exported function has the exact signature of
     ``renderer.jitted(...)``: ``(params, orientation, translation) ->
     (N, H, W, 3)`` with pose shapes fixed at export time. Scene parameters
-    ride along in the artifact (still a runtime input — a server can hot-
-    swap optimized parameters without re-exporting).
+    (``params``, default the renderer's initial pytree — pass an optimized
+    checkpoint to bake it in) ride along in the artifact (still a runtime
+    input — a server can hot-swap optimized parameters without
+    re-exporting).
     """
     import jax
     from jax import export as jexport
@@ -55,7 +57,7 @@ def export_render(renderer, path, *, mode: int = 0, degree: int = 1,
     steps = marching_steps or renderer.config.marching_steps
     fn = renderer.jitted(mode=mode, marching_steps=steps, degree=degree)
     q, t = renderer.default_pose()
-    params = renderer.init_params
+    params = renderer.init_params if params is None else params
 
     kwargs = {}
     if platforms is not None:

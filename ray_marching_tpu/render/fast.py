@@ -468,16 +468,23 @@ class FastRenderer:
         return jnp.stack(chans, axis=0)
 
     def render_all_modes(self, params, orientation, translation, *,
-                         degree: int = 1, marching_steps: Optional[int] = None):
-        """All 8 shader modes from ONE fused march+normals pass."""
+                         degree: int = 1, marching_steps: Optional[int] = None,
+                         extras: bool = False):
+        """All 8 shader modes from ONE fused march+normals pass.
+
+        ``extras=True`` also shades the named lighting modes
+        (render/lighting.py) from the same hit planes; the integer mode
+        list keeps the reference's mode % 8 contract."""
         cfg = self.config
         steps = cfg.marching_steps if marching_steps is None else marching_steps
         origin, dirs = self._pose_planes(orientation, translation)
         hit, final_dirs = self._march_planes(params, origin, dirs, steps)
         dirs = final_dirs
-        h, w = cfg.px_height, cfg.px_width
+        modes = list(enumerate(shaders.MODES))
+        if extras:
+            modes += [(name, name) for name in lighting.EXTRA_MODES]
         images = {}
-        for mode, name in enumerate(shaders.MODES):
+        for mode, name in modes:
             channels = self._shade(mode, degree, orientation, origin, dirs,
                                    hit, params=params)
             images[name] = self._assemble(channels)

@@ -265,9 +265,13 @@ class Renderer:
         return image, soft_coverage(min_f, beta)
 
     def render_all_modes(self, params, orientation, translation, *, degree=1,
-                         marching_steps=None, axis_names=()):
+                         marching_steps=None, axis_names=(), extras=False):
         """Render all 8 shader modes from one march (the OmniShader
-        capability, reference shader.py:266-346, minus its bugs)."""
+        capability, reference shader.py:266-346, minus its bugs).
+
+        ``extras=True`` additionally shades the named lighting modes
+        (render/lighting.py) from the same march — the integer mode list
+        and its ``mode % 8`` contract stay untouched."""
         steps = self.config.marching_steps if marching_steps is None else marching_steps
         pixel_pos, pixel_frames, ray_pos, ray_dirs = self.camera.pose(
             orientation, translation
@@ -291,6 +295,14 @@ class Renderer:
             degree=degree,
             axis_names=axis_names,
         )
+        if extras:
+            for name in lighting.EXTRA_MODES:
+                images[name] = lighting.shade_extra(
+                    name, self.sdf_c, params,
+                    tuple(surface_coords[..., i] for i in range(3)),
+                    tuple(surface_normals[..., i] for i in range(3)),
+                    self.config,
+                )[..., None]
         h, w = self.config.px_height, self.config.px_width
         return {
             k: jnp.broadcast_to(v, (v.shape[0], h, w, 3)) for k, v in images.items()

@@ -216,13 +216,20 @@ class TiledRenderer:
         return jnp.tile(q1, (n, 1)), jnp.tile(t1, (n, 1))
 
     def render_all_modes(self, params, orientation, translation, *,
-                         degree: int = 1):
+                         degree: int = 1, extras: bool = False):
         """All 8 shader modes strip by strip, TWO marches per strip total
         (one stats pass gathering the three normalized modes' bounds
         jointly, one shade pass emitting all 8 images) — the tiled
         counterpart of ``FastRenderer.render_all_modes`` (the reference's
-        OmniShader capability) for frames beyond one device pass."""
-        key = ("all", degree)
+        OmniShader capability) for frames beyond one device pass.
+        ``extras=True`` adds the named lighting modes (no global
+        normalization — they shade in the same single pass)."""
+        from ray_marching_tpu.render import lighting
+
+        mode_list = list(enumerate(shaders.MODES))
+        if extras:
+            mode_list += [(name, name) for name in lighting.EXTRA_MODES]
+        key = ("all", degree, extras)
         if key not in self._fns:
             fast = self.fast
             steps = self.config.marching_steps
@@ -250,10 +257,12 @@ class TiledRenderer:
                     name: fast._assemble(
                         fast._shade(
                             m, degree, q, origin, dirs, hit, valid_b=vb,
-                            norm_bounds=bounds.get(m), params=params,
+                            norm_bounds=bounds.get(m) if isinstance(m, int)
+                            else None,
+                            params=params,
                         )
                     )
-                    for m, name in enumerate(shaders.MODES)
+                    for m, name in mode_list
                 }
 
             self._fns[key] = (jax.jit(stats_all), jax.jit(shade_all))
@@ -292,7 +301,7 @@ class TiledRenderer:
                 ],
                 axis=0,
             )
-            for name in shaders.MODES
+            for _, name in mode_list
         }
 
     # -- strip-accumulated gradients ------------------------------------------

@@ -127,6 +127,23 @@ def orbit_script(frames: int, yaw_per_frame: float = 0.02):
     )
 
 
+def _display_frame(image):
+    """(N, H, W, C) → (H, W, C) for display: average the camera axis, the
+    reference app's display reduction (``images.mean(dim=0)``,
+    main.py:78-84) and the same semantics as :func:`io.image.write_png` —
+    every sink shows what the saved PNG will contain. uint8 frames stay
+    uint8 (mean promotes to float; round back)."""
+    import numpy as np
+
+    img = np.asarray(image)
+    if img.ndim == 4:
+        was_uint8 = img.dtype == np.uint8
+        img = img.mean(axis=0)
+        if was_uint8:
+            img = (img + 0.5).astype(np.uint8)
+    return img
+
+
 @dataclass
 class PNGSink:
     """Writes every Nth frame (and every save-requested frame) as PNG."""
@@ -160,9 +177,7 @@ class TerminalSink:
     def __call__(self, frame_idx, image, session):
         import numpy as np
 
-        img = np.asarray(image)
-        if img.ndim == 4:  # (N, H, W, 3) → first camera
-            img = img[0]
+        img = _display_frame(image)  # camera mean, like write_png
         if img.dtype != np.uint8:  # floats: NaN→black, clamp, quantize
             img = np.nan_to_num(img, nan=0.0, posinf=1.0, neginf=0.0)
             img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
@@ -212,13 +227,9 @@ class KittySink:
     def __call__(self, frame_idx, image, session):
         import base64
 
-        import numpy as np
-
         from ray_marching_tpu.io.image import encode_png
 
-        img = np.asarray(image)
-        if img.ndim == 4:
-            img = img[0]
+        img = _display_frame(image)  # camera mean, like write_png
         payload = base64.standard_b64encode(encode_png(img))
         out = []
         if self._first:
@@ -257,9 +268,7 @@ class APNGSink:
     def __call__(self, frame_idx, image, session):
         import numpy as np
 
-        img = np.asarray(image)
-        if img.ndim == 4:  # (N, H, W, 3) → first camera
-            img = img[0]
+        img = _display_frame(image)  # camera mean, like write_png
         if img.dtype != np.uint8:
             img = np.nan_to_num(img, nan=0.0, posinf=1.0, neginf=0.0)
             img = (np.clip(img, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
@@ -296,8 +305,21 @@ def run_viewer(renderer, input_source, sink: Callable, *,
                print_fps: bool = True,
                jit_cache_size: int = 8,
                transfer: str = "uint8",
-               fetch_stride: int = 1):
+               fetch_stride: int = 1,
+               params=None,
+               modes=None):
     """The frame loop (reference main.py:52-88). Returns final states.
+
+    ``params`` renders with a specific scene-parameter pytree (e.g. an
+    optimized checkpoint — the optimize→view loop); default is the
+    renderer's initial parameters.
+
+    ``modes`` is the shader-mode cycle the scroll wheel walks:
+    a sequence of integer modes and/or named extra lighting modes
+    (render/lighting.py). Default ``range(8)`` — the reference's
+    ``mode % 8`` wraparound (shader.py:204-209); pass
+    ``list(range(8)) + list(lighting.EXTRA_MODES)`` to scroll through
+    occlusion/shaded too.
 
     The per-(mode, steps, degree) jit cache is LRU-bounded
     (``jit_cache_size``): scrubbing marching_steps interactively recompiles
@@ -318,6 +340,8 @@ def run_viewer(renderer, input_source, sink: Callable, *,
 
     camera = camera or CameraState.initial(dtype=renderer.dtype)
     session = session or SessionState(marching_steps=renderer.config.marching_steps)
+    params = renderer.init_params if params is None else params
+    modes = tuple(range(8)) if modes is None else tuple(modes)
 
     @jax.jit
     def quantize(img):
@@ -363,7 +387,8 @@ def run_viewer(renderer, input_source, sink: Callable, *,
         if not session.running:
             break
         camera = apply_input(camera, snap, control)
-        key = (session.mode % 8, session.marching_steps, session.degree)
+        key = (modes[session.mode % len(modes)], session.marching_steps,
+               session.degree)
         if key in jitted_cache:
             jitted_cache.move_to_end(key)
         else:
@@ -371,7 +396,7 @@ def run_viewer(renderer, input_source, sink: Callable, *,
             while len(jitted_cache) > jit_cache_size:
                 jitted_cache.popitem(last=False)
         image = jitted_cache[key](
-            renderer.init_params, camera.orientation, camera.position
+            params, camera.orientation, camera.position
         )
         if pending is not None:
             flush(pending)

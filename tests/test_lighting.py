@@ -154,3 +154,80 @@ def test_cli_parses_extra_modes():
     assert _parse_mode("occlusion") == "occlusion"
     assert _parse_mode("spin") == 7
     assert _parse_mode("3") == 3
+
+
+# -- frozen regression fixture ------------------------------------------------
+#
+# The fast↔modular parity tests above pin the two renderers to each other;
+# the frozen fixture (self-generated f64 by tools/gen_lighting_fixture.py —
+# NOT a reference golden; the reference has no lighting) pins both against
+# a committed artifact so they cannot drift together.
+
+
+def _fixture():
+    from pathlib import Path
+
+    path = Path(__file__).parent / "golden" / "lighting_extra.npz"
+    return np.load(path)
+
+
+@pytest.mark.parametrize("mode", lighting.EXTRA_MODES)
+def test_lighting_frozen_fixture_modular(mode):
+    fx = _fixture()
+    cfg = RenderConfig(
+        px_width=int(fx["width"]), px_height=int(fx["height"]),
+        focal_length=float(fx["px_size"]) * int(fx["height"]),
+        sensor_width=float(fx["px_size"]) * int(fx["width"]),
+        sensor_height=float(fx["px_size"]) * int(fx["height"]),
+        marching_steps=int(fx["steps"]),
+    )
+    r = Renderer(registry.make_scene("test_scene"), cfg, dtype=jnp.float64,
+                 grid_dtype=np.float64)
+    q = jnp.asarray(fx["pose_q"], jnp.float64)
+    t = jnp.asarray(fx["pose_t"], jnp.float64)
+    img = np.asarray(r.jitted(mode=mode)(r.init_params, q, t))
+    np.testing.assert_allclose(img, fx[mode], rtol=1e-12, atol=1e-13)
+    assert img.std() > 0.01  # the fixture pose has real variation
+
+
+@pytest.mark.parametrize("mode", lighting.EXTRA_MODES)
+def test_lighting_frozen_fixture_fast(mode):
+    fx = _fixture()
+    cfg = RenderConfig(
+        px_width=int(fx["width"]), px_height=int(fx["height"]),
+        focal_length=float(fx["px_size"]) * int(fx["height"]),
+        sensor_width=float(fx["px_size"]) * int(fx["width"]),
+        sensor_height=float(fx["px_size"]) * int(fx["height"]),
+        marching_steps=int(fx["steps"]),
+    )
+    f = FastRenderer(registry.make_scene("test_scene"), cfg,
+                     dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    q = jnp.asarray(fx["pose_q"], jnp.float64)
+    t = jnp.asarray(fx["pose_t"], jnp.float64)
+    img = np.asarray(f.jitted(mode=mode)(f.init_params, q, t))
+    np.testing.assert_allclose(img, fx[mode], rtol=1e-9, atol=1e-10)
+
+
+def test_render_all_modes_extras_bundle():
+    """extras=True ships 10 images (8 reference + occlusion/shaded) from
+    one march, on both renderers, matching the single-mode outputs."""
+    r, f, q, t = make_pair(steps=12)
+    import jax
+
+    all_r = jax.jit(lambda p, q, t: r.render_all_modes(p, q, t, extras=True))(
+        r.init_params, q, t
+    )
+    all_f = jax.jit(lambda p, q, t: f.render_all_modes(p, q, t, extras=True))(
+        f.init_params, q, t
+    )
+    from ray_marching_tpu.render import shaders
+
+    want = set(shaders.MODES) | set(lighting.EXTRA_MODES)
+    assert set(all_r) == want and set(all_f) == want
+    for mode in lighting.EXTRA_MODES:
+        single = np.asarray(r.jitted(mode=mode)(r.init_params, q, t))
+        np.testing.assert_allclose(np.asarray(all_r[mode]), single,
+                                   rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(all_f[mode]), single,
+                                   rtol=1e-9, atol=1e-10)
