@@ -118,3 +118,114 @@ def load_render(path):
         return exported.call(params, orientation, translation)
 
     return render_fn, params, meta
+
+
+# --- multi-chip readiness kit -------------------------------------------------
+#
+# AOT export of the SHARDED fused train step (parallel/fast_sharding.
+# fast_train_step) so pod time is pure measurement: on the target slice,
+# `tools/export_multichip_kit.py` serializes the step once per mesh size
+# and `load_train_step` replays it with no Python tracing (see
+# docs/MULTICHIP.md — the runbook). Calling an artifact requires the same
+# device count it was exported for (jax.export bakes the mesh).
+
+_STEP_NAME = "train_step.stablehlo"
+
+
+def export_train_step(fast, mesh, path, *, optimizer=None, mode: int = 0,
+                      degree: int = 1) -> Path:
+    """Export one sharded fused inverse-rendering train step as ``.rmxs``.
+
+    The exported callable has fast_train_step's signature:
+    ``(params, opt_state, target_planes, orientation, translation) ->
+    (params, opt_state, loss)`` with params/opt_state/pose replicated and
+    target planes row-sharded over the mesh.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax import export as jexport
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ray_marching_tpu.parallel import fast_sharding as fs
+
+    optimizer = optimizer or optax.adam(1e-2)
+    step = fs.fast_train_step(fast, mesh, optimizer, mode=mode, degree=degree)
+    params = fast.init_params
+    opt_state = optimizer.init(params)
+    _register_optax_serialization(opt_state)
+    target = jax.device_put(
+        jnp.zeros((3, fast.rows, 128), fast.dtype),
+        NamedSharding(mesh, P(None, tuple(mesh.axis_names), None)),
+    )
+    q, t = fast.default_pose()
+    exported = jexport.export(step)(params, opt_state, target, q, t)
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "kind": "sharded_train_step",
+        "mode": mode,
+        "degree": degree,
+        "mesh_shape": {k: int(v) for k, v in mesh.shape.items()},
+        "num_devices": int(mesh.devices.size),
+        "platforms": list(exported.platforms),
+        "px_width": fast.config.px_width,
+        "px_height": fast.config.px_height,
+        "rows": int(fast.rows),
+        "marching_steps": fast.config.marching_steps,
+        "dtype": np.dtype(fast.dtype).name,
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_STEP_NAME, exported.serialize())
+        zf.writestr(_META_NAME, json.dumps(meta, indent=1))
+    return path
+
+
+def _register_optax_serialization(opt_state):
+    """jax.export refuses pytrees with unregistered node types; optax
+    optimizer states are namedtuples (ScaleByAdamState, EmptyState, …).
+    Register every namedtuple type appearing in this state, idempotently
+    (re-registration raises ValueError)."""
+    from jax import export as jexport
+
+    def walk(node):
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            try:
+                jexport.register_namedtuple_serialization(
+                    type(node),
+                    serialized_name=f"{type(node).__module__}."
+                                    f"{type(node).__qualname__}",
+                )
+            except ValueError:
+                pass  # already registered
+            for child in node:
+                walk(child)
+        elif isinstance(node, (tuple, list)):
+            for child in node:
+                walk(child)
+        elif isinstance(node, dict):
+            for child in node.values():
+                walk(child)
+
+    walk(opt_state)
+
+
+def load_train_step(path):
+    """Load a ``.rmxs`` sharded-train-step artifact → ``(step_fn, meta)``.
+
+    The process must expose at least ``meta['num_devices']`` devices;
+    inputs must carry the shardings recorded at export (replicated
+    params/opt_state/pose, row-sharded target planes)."""
+    from jax import export as jexport
+
+    with zipfile.ZipFile(path) as zf:
+        exported = jexport.deserialize(zf.read(_STEP_NAME))
+        meta = json.loads(zf.read(_META_NAME))
+
+    def step_fn(params, opt_state, target, orientation, translation):
+        return exported.call(params, opt_state, target, orientation,
+                             translation)
+
+    return step_fn, meta

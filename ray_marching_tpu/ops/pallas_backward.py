@@ -56,7 +56,11 @@ def _store_gtheta(gtheta_ref, gtheta):
             rows.append(jnp.zeros((1, LANES), gtheta.dtype))
             continue
         hi = min(lo + LANES, p)
-        chunk = gtheta[None, lo:hi]
+        # lax.slice, not gtheta[None, lo:hi]: jnp's mixed newaxis+slice
+        # indexing emits a 1-D GATHER for any non-full slice, and Mosaic
+        # only lowers 2-D gathers (first hit when neural params pushed
+        # P past one lane row).
+        chunk = lax.slice(gtheta, (lo,), (hi,))[None, :]
         if hi - lo < LANES:
             chunk = jnp.pad(chunk, ((0, 0), (0, LANES - (hi - lo))))
         rows.append(chunk)
@@ -115,12 +119,14 @@ def two_level_engages(steps, tau=0.0, track_min=False) -> bool:
     )
 
 
-def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
-                track_min, use_hist,
-                params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
-                valid_ref, g_ref, *refs):
+def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
+                track_min, use_hist, n_mats,
+                params_ref, *all_refs):
     from ray_marching_tpu.ops.pallas_render import _normals_block
 
+    mat_refs, all_refs = all_refs[:n_mats], all_refs[n_mats:]
+    (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, valid_ref,
+     g_ref, *refs) = all_refs
     if use_hist:
         # History logged by the forward kernel (pallas_render._march_tile):
         # pre-step positions 0..steps-1 plus the terminal position at
@@ -133,14 +139,15 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
         minf_in_ref = refs.pop(0) if track_min else None
         amin_in_ref = refs.pop(0) if track_min else None
         nact_in_ref = refs.pop(0) if tau != 0.0 else None
-        (gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
-         gtheta_ref) = refs
     else:
-        (gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
-         gtheta_ref, hist_ref) = refs
+        refs = list(refs)
+        hist_ref = refs.pop()  # VMEM scratch trails the outputs
+    (gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
+     gtheta_ref, *gmat_refs) = refs
 
     flat = params_ref[0, :]
-    params = unravel(flat)
+    mats = tuple(r[:] for r in mat_refs)
+    params = rebuild(flat, mats)
     x, y, z = px_ref[:], py_ref[:], pz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     valid = valid_ref[:] > 0.5
@@ -237,8 +244,8 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
     minf, amin = (carry[3], carry[4]) if track_min else (None, None)
 
     # ---- tail: terminal distance + normals + laplacian ----
-    def tail(flat, x, y, z):
-        params = unravel(flat)
+    def tail(flat, mats, x, y, z):
+        params = rebuild(flat, mats)
         d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
         nx, ny, nz, lap = _normals_block(
             sdf_c, params, x, y, z, d_centre, offsets, inverse, normals_eps
@@ -251,8 +258,8 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
             jnp.where(valid, lap, zero),
         )
 
-    _, tail_vjp = jax.vjp(tail, flat, x, y, z)
-    gtheta, gx, gy, gz = tail_vjp(
+    _, tail_vjp = jax.vjp(tail, flat, mats, x, y, z)
+    gtheta, gmats, gx, gy, gz = tail_vjp(
         (g_ref[3], g_ref[4], g_ref[5], g_ref[6], g_ref[7])
     )
     gx = gx + g_ref[0]
@@ -268,8 +275,8 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
     # attaining step takes all that remains. The injected cotangent flows
     # into both the parameter cotangent and this step's position cotangent
     # (and from there back through earlier steps).
-    def step_fn(flat, x, y, z, vx, vy, vz):
-        params = unravel(flat)
+    def step_fn(flat, mats, x, y, z, vx, vy, vz):
+        params = rebuild(flat, mats)
         d = sdf_c(params, x, y, z)
         live = live_mask(d)
         out = (
@@ -280,12 +287,12 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
         return out + (d,) if track_min else out
 
     def bwd_body(j, carry):
-        gx, gy, gz, gtheta, gvx, gvy, gvz, c = carry
+        gx, gy, gz, gtheta, gmats, gvx, gvy, gvz, c = carry
         i = n_active - 1 - j
         xi = hist_ref[i, 0]
         yi = hist_ref[i, 1]
         zi = hist_ref[i, 2]
-        out, vjp = jax.vjp(step_fn, flat, xi, yi, zi, dx, dy, dz)
+        out, vjp = jax.vjp(step_fn, flat, mats, xi, yi, zi, dx, dy, dz)
         if track_min:
             di = out[3]
             first = amin == i
@@ -295,8 +302,10 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
             cot = (gx, gy, gz, gd)
         else:
             cot = (gx, gy, gz)
-        dtheta, gx, gy, gz, dvx, dvy, dvz = vjp(cot)
-        return (gx, gy, gz, gtheta + dtheta, gvx + dvx, gvy + dvy, gvz + dvz, c)
+        dtheta, dmats, gx, gy, gz, dvx, dvy, dvz = vjp(cot)
+        gmats = jax.tree_util.tree_map(jnp.add, gmats, dmats)
+        return (gx, gy, gz, gtheta + dtheta, gmats,
+                gvx + dvx, gvy + dvy, gvz + dvz, c)
 
     gvz0 = jnp.zeros_like(gx)
     c0 = (
@@ -310,7 +319,7 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
     # (n_active ≡ steps mod EXIT_SEG), so after a rolled prologue of the
     # static remainder it unrolls by a divisor of EXIT_SEG; the in-kernel
     # recompute's per-step-granular count stays rolled.
-    bwd_init = (gx, gy, gz, gtheta, gvz0, gvz0, gvz0, c0)
+    bwd_init = (gx, gy, gz, gtheta, gmats, gvz0, gvz0, gvz0, c0)
     u = 1
     tail0 = 0
     if isinstance(n_active, int) and n_active > 0:
@@ -339,11 +348,11 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
                 carry = bwd_body(tail0 + jj * u + k, carry)
             return carry
 
-        gx, gy, gz, gtheta, gvx, gvy, gvz, _ = lax.fori_loop(
+        gx, gy, gz, gtheta, gmats, gvx, gvy, gvz, _ = lax.fori_loop(
             0, (n_active - tail0) // u, bwd_body_u, carry
         )
     else:
-        gx, gy, gz, gtheta, gvx, gvy, gvz, _ = lax.fori_loop(
+        gx, gy, gz, gtheta, gmats, gvx, gvy, gvz, _ = lax.fori_loop(
             0, n_active, bwd_body, bwd_init
         )
 
@@ -354,20 +363,25 @@ def _bwd_kernel(sdf_c, unravel, steps, tau, normals_eps, offsets, inverse,
     gvy_ref[:] = gvy
     gvz_ref[:] = gvz
     _store_gtheta(gtheta_ref, gtheta)
+    for ref, gm in zip(gmat_refs, gmats):
+        ref[:] = gm[None]
 
 
-def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
-                   params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
-                   valid_ref, g_ref,
-                   gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
-                   gtheta_ref, ckpt_ref, seg_ref):
+def _bwd_kernel_2l(sdf_c, rebuild, steps, normals_eps, offsets, inverse,
+                   n_mats, params_ref, *all_refs):
     """Two-level-recompute variant of :func:`_bwd_kernel` (steps % K == 0)."""
     from ray_marching_tpu.ops.pallas_render import _normals_block
 
+    mat_refs, all_refs = all_refs[:n_mats], all_refs[n_mats:]
+    (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, valid_ref, g_ref,
+     gx0_ref, gy0_ref, gz0_ref, gvx_ref, gvy_ref, gvz_ref,
+     gtheta_ref, *rest) = all_refs
+    *gmat_refs, ckpt_ref, seg_ref = rest
     k = CKPT_INTERVAL
     n_seg = steps // k
     flat = params_ref[0, :]
-    params = unravel(flat)
+    mats = tuple(r[:] for r in mat_refs)
+    params = rebuild(flat, mats)
     x, y, z = px_ref[:], py_ref[:], pz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     valid = valid_ref[:] > 0.5
@@ -393,8 +407,8 @@ def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     x, y, z = lax.fori_loop(0, n_seg, fwd_seg, (x, y, z))
 
     # ---- tail cotangents (same as the full-history kernel) ----
-    def tail(flat, x, y, z):
-        params = unravel(flat)
+    def tail(flat, mats, x, y, z):
+        params = rebuild(flat, mats)
         d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
         nx, ny, nz, lap = _normals_block(
             sdf_c, params, x, y, z, d_centre, offsets, inverse, normals_eps
@@ -407,16 +421,16 @@ def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
             jnp.where(valid, lap, zero),
         )
 
-    _, tail_vjp = jax.vjp(tail, flat, x, y, z)
-    gtheta, gx, gy, gz = tail_vjp(
+    _, tail_vjp = jax.vjp(tail, flat, mats, x, y, z)
+    gtheta, gmats, gx, gy, gz = tail_vjp(
         (g_ref[3], g_ref[4], g_ref[5], g_ref[6], g_ref[7])
     )
     gx = gx + g_ref[0]
     gy = gy + g_ref[1]
     gz = gz + g_ref[2]
 
-    def step_fn(flat, x, y, z, vx, vy, vz):
-        params = unravel(flat)
+    def step_fn(flat, mats, x, y, z, vx, vy, vz):
+        params = rebuild(flat, mats)
         d = sdf_c(params, x, y, z)
         return (
             jnp.where(valid, x + d * vx, x),
@@ -426,7 +440,7 @@ def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
 
     # ---- reverse sweep: re-march each segment, then backprop through it ----
     def bwd_seg(si, carry):
-        gx, gy, gz, gtheta, gvx, gvy, gvz = carry
+        gx, gy, gz, gtheta, gmats, gvx, gvy, gvz = carry
         s = n_seg - 1 - si
         x = ckpt_ref[s, 0]
         y = ckpt_ref[s, 1]
@@ -442,23 +456,24 @@ def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
         lax.fori_loop(0, k, log_seg, (x, y, z))
 
         def bwd_step(j, carry):
-            gx, gy, gz, gtheta, gvx, gvy, gvz = carry
+            gx, gy, gz, gtheta, gmats, gvx, gvy, gvz = carry
             i = k - 1 - j
             _, vjp = jax.vjp(
-                step_fn, flat, seg_ref[i, 0], seg_ref[i, 1], seg_ref[i, 2],
-                dx, dy, dz,
+                step_fn, flat, mats, seg_ref[i, 0], seg_ref[i, 1],
+                seg_ref[i, 2], dx, dy, dz,
             )
-            dtheta, gx, gy, gz, dvx, dvy, dvz = vjp((gx, gy, gz))
-            return (gx, gy, gz, gtheta + dtheta,
+            dtheta, dmats, gx, gy, gz, dvx, dvy, dvz = vjp((gx, gy, gz))
+            gmats = jax.tree_util.tree_map(jnp.add, gmats, dmats)
+            return (gx, gy, gz, gtheta + dtheta, gmats,
                     gvx + dvx, gvy + dvy, gvz + dvz)
 
         return lax.fori_loop(
-            0, k, bwd_step, (gx, gy, gz, gtheta, gvx, gvy, gvz)
+            0, k, bwd_step, (gx, gy, gz, gtheta, gmats, gvx, gvy, gvz)
         )
 
     gvz0 = jnp.zeros_like(gx)
-    gx, gy, gz, gtheta, gvx, gvy, gvz = lax.fori_loop(
-        0, n_seg, bwd_seg, (gx, gy, gz, gtheta, gvz0, gvz0, gvz0)
+    gx, gy, gz, gtheta, gmats, gvx, gvy, gvz = lax.fori_loop(
+        0, n_seg, bwd_seg, (gx, gy, gz, gtheta, gmats, gvz0, gvz0, gvz0)
     )
 
     gx0_ref[:] = gx
@@ -468,9 +483,11 @@ def _bwd_kernel_2l(sdf_c, unravel, steps, normals_eps, offsets, inverse,
     gvy_ref[:] = gvy
     gvz_ref[:] = gvz
     _store_gtheta(gtheta_ref, gtheta)
+    for ref, gm in zip(gmat_refs, gmats):
+        ref[:] = gm[None]
 
 
-def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
+def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
                    normals_eps, interpret, track_min=False, tau=0.0,
                    hist=None, minf=None, amin=None, nact=None):
     """Backward of fused_march_normals.
@@ -496,14 +513,22 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
             there, and the segment-aligned count lets it partially unroll).
 
     Returns:
-        (flat_params_cot (P,), rays7_cot (7, rows, 128)).
+        (flat_params_cot (P,), mats_cot (pytree like ``mats``),
+        rays7_cot (7, rows, 128)).
     """
+    from ray_marching_tpu.ops.pallas_march import (
+        NEURAL_VMEM_LIMIT_BYTES,
+        mat_in_specs,
+        matmul_width,
+    )
+
     rows = rays7.shape[1]
     dtype = rays7.dtype
     p = flat_params.shape[0]
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
     k = CKPT_INTERVAL
     n_g = 9 if track_min else 8
+    width = matmul_width(mats)
     # Opt-in experiment (RM_TPU_BWD_TWO_LEVEL=1): trades the full position
     # history for segment recompute. Measured slower than full history at
     # every tile size once BWD_VMEM_LIMIT_BYTES lifts the scoped-VMEM cap
@@ -519,8 +544,8 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     if two_level:
         tile = min(BWD_ROWS_PER_TILE_2L, rows)
         kernel = functools.partial(
-            _bwd_kernel_2l, sdf_c, unravel, steps, normals_eps, offsets,
-            inverse,
+            _bwd_kernel_2l, sdf_c, rebuild, steps, normals_eps, offsets,
+            inverse, len(mats),
         )
         scratch = [
             pltpu.VMEM((steps // k, 3, tile, LANES), dtype),  # checkpoints
@@ -528,6 +553,11 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
         ]
     else:
         tile = min(BWD_ROWS_PER_TILE, rows)
+        if width > 128:
+            # Wide neural scenes: halve the tile so the reverse sweep's
+            # (width, tile·128) hidden-block temporaries fit scoped VMEM
+            # (mirrors pallas_march._tile_rows).
+            tile = min(tile, 64)
         # The forward logged its history at the forward kernel's padded row
         # count; only usable if it matches this kernel's padding.
         if use_hist and hist.shape[2] != rows + (-rows % tile):
@@ -546,8 +576,8 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
             if min(DEFAULT_ROWS_PER_TILE, rows) % tile != 0:
                 use_hist = False
         kernel = functools.partial(
-            _bwd_kernel, sdf_c, unravel, steps, tau, normals_eps, offsets,
-            inverse, track_min, use_hist,
+            _bwd_kernel, sdf_c, rebuild, steps, tau, normals_eps, offsets,
+            inverse, track_min, use_hist, len(mats),
         )
         scratch = [] if use_hist else [
             pltpu.VMEM((steps, 3, tile, LANES), dtype)
@@ -577,8 +607,8 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     g_spec = pl.BlockSpec(
         (n_g, tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    in_specs = [params_spec] + [plane_spec] * 7 + [g_spec]
-    operands = [flat_params[None, :], *[rays7[i] for i in range(7)], g8]
+    in_specs = [params_spec] + mat_in_specs(mats) + [plane_spec] * 7 + [g_spec]
+    operands = [flat_params[None, :], *mats, *[rays7[i] for i in range(7)], g8]
     if use_hist:
         in_specs.append(
             pl.BlockSpec(
@@ -601,23 +631,41 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
             in_specs.append(plane_spec)
             operands.append(nact)
     plane_out = jax.ShapeDtypeStruct((rows + pad, LANES), dtype)
+    # Per-matrix cotangent outputs: one (1, *shape) block per tile, summed
+    # over the tile axis below (same pattern as the gtheta spill rows).
+    gmat_specs = [
+        pl.BlockSpec(
+            (1,) + m.shape,
+            (lambda nd: lambda i: (i,) + (0,) * nd)(jnp.ndim(m)),
+            memory_space=pltpu.VMEM,
+        )
+        for m in mats
+    ]
+    gmat_shapes = [
+        jax.ShapeDtypeStruct((num_tiles,) + m.shape, dtype) for m in mats
+    ]
+    vmem_limit = BWD_VMEM_LIMIT_BYTES
+    if mats and vmem_limit is not None:
+        vmem_limit = max(vmem_limit, NEURAL_VMEM_LIMIT_BYTES)
     outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=in_specs,
         out_specs=[plane_spec] * 6
-        + [pl.BlockSpec((gr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        + [pl.BlockSpec((gr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + gmat_specs,
         out_shape=[plane_out] * 6
-        + [jax.ShapeDtypeStruct((num_tiles * gr, LANES), dtype)],
+        + [jax.ShapeDtypeStruct((num_tiles * gr, LANES), dtype)]
+        + gmat_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=(
             None
-            if (BWD_VMEM_LIMIT_BYTES is None or interpret)
-            else pltpu.CompilerParams(vmem_limit_bytes=BWD_VMEM_LIMIT_BYTES)
+            if (vmem_limit is None or interpret)
+            else pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
         ),
     )(*operands)
-    gx, gy, gz, gvx, gvy, gvz, gtheta_tiles = outs
+    gx, gy, gz, gvx, gvy, gvz, gtheta_tiles, *gmat_tiles = outs
     if pad:
         gx, gy, gz, gvx, gvy, gvz = (
             a[:rows] for a in (gx, gy, gz, gvx, gvy, gvz)
@@ -628,4 +676,5 @@ def fused_backward(sdf_c, unravel, flat_params, rays7, g8, steps,
     gtheta = jnp.sum(
         gtheta_tiles.reshape(num_tiles, gr * LANES)[:, :p], axis=0
     )
-    return gtheta, rays7_cot
+    gmats = tuple(jnp.sum(t, axis=0) for t in gmat_tiles)
+    return gtheta, gmats, rays7_cot

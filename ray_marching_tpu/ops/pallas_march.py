@@ -54,6 +54,70 @@ def ravel_params_padded(params, dtype):
     return flat, unravel
 
 
+def split_params_padded(params, dtype):
+    """Partition a params pytree for kernel entry: matrix leaves ride as
+    native 2-D+ VMEM inputs, everything else through one flat lane vector.
+
+    Mosaic cannot rebuild a matrix from a flat row — every reshape
+    ``(1, n) → (a, b)`` with b ≠ 128k, every sublane concat of
+    non-128-lane pieces, and 1-D→2-D casts in general hit
+    "unsupported shape cast" / "offset mismatch" (probed exhaustively on
+    v5e). Passing ndim≥2 leaves as their own kernel inputs gives them a
+    native VMEM layout — which the MXU matmuls of
+    :func:`scene.neural.neural_sdf_matmul` want anyway.
+
+    Returns:
+        (flat, mats, rebuild): ``flat`` is the 1-D concatenation of the
+        scalar/vector leaves (padded to length >= 1); ``mats`` is a tuple
+        of the ndim >= 2 leaves (cast to ``dtype``, pytree order);
+        ``rebuild(flat_1d, mats) -> params`` reassembles the pytree and is
+        pure jnp (valid inside kernels, under jit, and under jax.vjp).
+    """
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    is_mat = [jnp.ndim(leaf) >= 2 for leaf in leaves]
+    mats = tuple(
+        jnp.asarray(leaf, dtype) for leaf, m in zip(leaves, is_mat) if m
+    )
+    small = [leaf for leaf, m in zip(leaves, is_mat) if not m]
+    flat, unravel_small = ravel_pytree(small)
+    flat = flat.astype(dtype)
+    padded = flat.size == 0  # Mosaic block specs need width >= 1
+    if padded:
+        flat = jnp.zeros((1,), dtype)
+
+    def rebuild(v, mats):
+        small_leaves = unravel_small(v[:0] if padded else v)
+        out, im, isl = [], iter(mats), iter(small_leaves)
+        for m in is_mat:
+            out.append(next(im) if m else next(isl))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return flat, mats, rebuild
+
+
+def mat_in_specs(mats):
+    """Whole-array VMEM BlockSpecs for matrix kernel inputs (same block at
+    every grid step)."""
+    return [
+        pl.BlockSpec(m.shape, _zero_index_map(jnp.ndim(m)),
+                     memory_space=pltpu.VMEM)
+        for m in mats
+    ]
+
+
+def _zero_index_map(ndim):
+    return lambda i: (0,) * ndim
+
+
+def matmul_width(mats) -> int:
+    """Largest matrix dimension among the kernel's matrix inputs — sizes
+    the per-tile VMEM the MLP hidden blocks need (rows_per_tile and the
+    scoped-VMEM budget scale off this)."""
+    return max((max(m.shape) for m in mats), default=0)
+
+
 def _pad_rows(flat: jnp.ndarray, rows: int, *, edge: bool = False
               ) -> jnp.ndarray:
     """(R,) -> (rows, 128). ``edge=True`` repeats the last real value into
@@ -76,10 +140,12 @@ def _pad_rows(flat: jnp.ndarray, rows: int, *, edge: bool = False
     return flat.reshape(rows, LANES)
 
 
-def _march_kernel(sdf_c, unravel, steps, tau,
-                  params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
-                  valid_ref, ox_ref, oy_ref, oz_ref, od_ref):
-    params = unravel(params_ref[0, :])
+def _march_kernel(sdf_c, rebuild, steps, tau, n_mats,
+                  params_ref, *refs):
+    mat_refs, refs = refs[:n_mats], refs[n_mats:]
+    (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, valid_ref,
+     ox_ref, oy_ref, oz_ref, od_ref) = refs
+    params = rebuild(params_ref[0, :], tuple(r[:] for r in mat_refs))
     x, y, z = px_ref[:], py_ref[:], pz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     valid = valid_ref[:] > 0.5
@@ -131,8 +197,8 @@ def _march_kernel(sdf_c, unravel, steps, tau,
     od_ref[:] = jnp.where(valid, sdf_c(params, x, y, z), jnp.zeros((), x.dtype))
 
 
-def _pallas_march_flat(sdf_c, unravel, steps, tau, rows_per_tile, interpret,
-                       flat_params, planes):
+def _pallas_march_flat(sdf_c, rebuild, steps, tau, rows_per_tile, interpret,
+                       flat_params, mats, planes):
     """planes: 6 arrays (rows, 128) -> (marched x, y, z, terminal distance)."""
     rows = planes[0].shape[0]
     dtype = planes[0].dtype
@@ -140,7 +206,9 @@ def _pallas_march_flat(sdf_c, unravel, steps, tau, rows_per_tile, interpret,
         # Floor division below would silently drop the trailing rows.
         raise ValueError(f"rows={rows} not a multiple of tile={rows_per_tile}")
     num_tiles = rows // rows_per_tile
-    kernel = functools.partial(_march_kernel, sdf_c, unravel, steps, tau)
+    kernel = functools.partial(
+        _march_kernel, sdf_c, rebuild, steps, tau, len(mats)
+    )
     plane_spec = pl.BlockSpec(
         (rows_per_tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -151,45 +219,78 @@ def _pallas_march_flat(sdf_c, unravel, steps, tau, rows_per_tile, interpret,
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[params_spec] + [plane_spec] * 7,
+        in_specs=[params_spec] + mat_in_specs(mats) + [plane_spec] * 7,
         out_specs=[plane_spec] * 4,
         out_shape=[out_shape] * 4,
         interpret=interpret,
-    )(flat_params, *planes)
+        compiler_params=neural_compiler_params(mats, interpret),
+    )(flat_params, *mats, *planes)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6, 7)
 )
-def _pallas_march_core(sdf_c, unravel, flat_params, rays7, steps, tau,
+def _pallas_march_core(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
                        interpret):
     """rays7: stacked (7, rows, 128) planes (px py pz dx dy dz valid).
     Returns (4, rows, 128): marched x, y, z + terminal distance."""
     planes = [rays7[i] for i in range(7)]
     outs = _pallas_march_flat(
-        sdf_c, unravel, steps, tau, _tile_rows(rays7.shape[1]), interpret,
-        flat_params[None, :], planes,
+        sdf_c, rebuild, steps, tau,
+        _tile_rows(rays7.shape[1], matmul_width(mats)), interpret,
+        flat_params[None, :], mats, planes,
     )
     return jnp.stack(outs, axis=0)
 
 
-def _tile_rows(rows: int) -> int:
-    return min(DEFAULT_ROWS_PER_TILE, rows)
+# Scoped-VMEM budget for kernels whose scenes carry matrix leaves (neural
+# SDFs): the MXU hidden blocks are (width, tile·128) VMEM temporaries —
+# 4 MB each at width 64/tile 128 — and the Mosaic default 16 MiB OOMs
+# (measured: 19.25M at width 64). v5e has 128 MiB physical VMEM.
+NEURAL_VMEM_LIMIT_BYTES = 100 * 2**20
+# Above this width the ray tile halves so the hidden blocks stay ~8 MB.
+NEURAL_TILE_WIDTH_CAP = 128
 
 
-def _core_fwd(sdf_c, unravel, flat_params, rays7, steps, tau, interpret):
-    out = _pallas_march_core(sdf_c, unravel, flat_params, rays7, steps, tau,
-                             interpret)
-    return out, (flat_params, rays7)
+def _tile_rows(rows: int, width: int = 0) -> int:
+    import os
+
+    tile = min(DEFAULT_ROWS_PER_TILE, rows)
+    if width > NEURAL_TILE_WIDTH_CAP:
+        tile = min(tile, 64)
+    env = os.environ.get("RM_TPU_NEURAL_TILE")
+    if env and width:
+        tile = min(int(env), rows)
+    return tile
 
 
-def _core_bwd(sdf_c, unravel, steps, tau, interpret, residuals, g):
+def neural_compiler_params(mats, interpret, base_bytes=None):
+    """CompilerParams for a kernel whose scene has matrix leaves (raised
+    scoped-VMEM budget); ``base_bytes`` keeps a caller's existing raised
+    budget when it is already higher."""
+    if interpret:
+        return None
+    want = NEURAL_VMEM_LIMIT_BYTES if mats else None
+    if base_bytes is not None:
+        want = max(want or 0, base_bytes)
+    if not want:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=want)
+
+
+def _core_fwd(sdf_c, rebuild, flat_params, mats, rays7, steps, tau, interpret):
+    out = _pallas_march_core(sdf_c, rebuild, flat_params, mats, rays7, steps,
+                             tau, interpret)
+    return out, (flat_params, mats, rays7)
+
+
+def _core_bwd(sdf_c, rebuild, steps, tau, interpret, residuals, g):
     """Backward: differentiate the (rematerialized) scan marcher instead of
     the kernel — mathematically the same function."""
-    flat_params, rays7 = residuals
+    flat_params, mats, rays7 = residuals
 
-    def reference_fn(flat_params, rays7):
-        params = unravel(flat_params)
+    def reference_fn(flat_params, mats, rays7):
+        params = rebuild(flat_params, mats)
         px, py, pz, dx, dy, dz = (rays7[i] for i in range(6))
         valid = rays7[6] > 0.5
 
@@ -212,7 +313,7 @@ def _core_bwd(sdf_c, unravel, steps, tau, interpret, residuals, g):
         dist = jnp.where(valid, sdf_c(params, x, y, z), jnp.zeros((), x.dtype))
         return jnp.stack([x, y, z, dist], axis=0)
 
-    _, vjp = jax.vjp(reference_fn, flat_params, rays7)
+    _, vjp = jax.vjp(reference_fn, flat_params, mats, rays7)
     return vjp(g)
 
 
@@ -255,7 +356,9 @@ def pallas_march_with_distance(sdf_c, params, ray_positions, ray_directions,
     rows_per_tile = DEFAULT_ROWS_PER_TILE if total >= DEFAULT_ROWS_PER_TILE * LANES else 8
     rows = -(-total // (LANES * rows_per_tile)) * rows_per_tile
 
-    flat_params, unravel = ravel_params_padded(params, ray_positions.dtype)
+    flat_params, mats, rebuild = split_params_padded(
+        params, ray_positions.dtype
+    )
 
     def plane(a, idx):
         return _pad_rows(a[..., idx].reshape(-1), rows, edge=True)
@@ -268,8 +371,8 @@ def pallas_march_with_distance(sdf_c, params, ray_positions, ray_directions,
          valid],
         axis=0,
     )
-    out = _pallas_march_core(sdf_c, unravel, flat_params, rays7, steps, tau,
-                             interpret)
+    out = _pallas_march_core(sdf_c, rebuild, flat_params, mats, rays7, steps,
+                             tau, interpret)
     x, y, z, d = (out[i].reshape(-1)[:total] for i in range(4))
     pos = jnp.stack([x, y, z], axis=-1).reshape(shape + (3,))
     dist = d.reshape(shape + (1,))

@@ -206,13 +206,14 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
     return x, y, z
 
 
-def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
-                   track_min, log_hist, track_argpos,
-                   params_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
-                   valid_ref,
-                   ox_ref, oy_ref, oz_ref, od_ref,
-                   nx_ref, ny_ref, nz_ref, lap_ref, *extra_refs):
-    params = unravel(params_ref[0, :])
+def _render_kernel(sdf_c, rebuild, steps, tau, offsets, inverse, eps,
+                   track_min, log_hist, track_argpos, n_mats,
+                   params_ref, *refs):
+    mat_refs, refs = refs[:n_mats], refs[n_mats:]
+    (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, valid_ref,
+     ox_ref, oy_ref, oz_ref, od_ref,
+     nx_ref, ny_ref, nz_ref, lap_ref, *extra_refs) = refs
+    params = rebuild(params_ref[0, :], tuple(r[:] for r in mat_refs))
     x, y, z = px_ref[:], py_ref[:], pz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     valid = valid_ref[:] > 0.5
@@ -269,11 +270,18 @@ def _render_kernel(sdf_c, unravel, steps, tau, offsets, inverse, eps,
     lap_ref[:] = jnp.where(valid, lap, zero)
 
 
-def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
+def _call_render_kernel(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
                         normals_eps, interpret, track_min, log_hist=False,
                         track_argpos=False):
+    from ray_marching_tpu.ops.pallas_march import (
+        _tile_rows,
+        mat_in_specs,
+        matmul_width,
+        neural_compiler_params,
+    )
+
     rows = rays7.shape[1]
-    rows_per_tile = min(DEFAULT_ROWS_PER_TILE, rows)
+    rows_per_tile = _tile_rows(rows, matmul_width(mats))
     # Rows may not divide the tile (e.g. multi-camera stacks of 8-row-padded
     # blocks): pad by edge-replicating real rays (zero padding would park
     # the pad rays exactly at the world origin — a gradient singularity for
@@ -288,8 +296,8 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
     # f32 planes under x64 and break the kernel's typed ref stores).
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
     kernel = functools.partial(
-        _render_kernel, sdf_c, unravel, steps, tau, offsets, inverse,
-        normals_eps, track_min, log_hist, track_argpos,
+        _render_kernel, sdf_c, rebuild, steps, tau, offsets, inverse,
+        normals_eps, track_min, log_hist, track_argpos, len(mats),
     )
     plane_spec = pl.BlockSpec(
         (rows_per_tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -337,18 +345,17 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
     outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[params_spec] + [plane_spec] * 7,
+        in_specs=[params_spec] + mat_in_specs(mats) + [plane_spec] * 7,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
         # The double-buffered history block (2·(steps+1)·3 tile planes)
-        # busts the 16 MiB default scoped-VMEM budget at 32 steps.
-        compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
-            if (log_hist and not interpret)
-            else None
+        # busts the 16 MiB default scoped-VMEM budget at 32 steps; matrix
+        # (neural) scenes raise it further for the MXU hidden blocks.
+        compiler_params=neural_compiler_params(
+            mats, interpret, base_bytes=64 * 2**20 if log_hist else None
         ),
-    )(flat_params[None, :], *[rays7[i] for i in range(7)])
+    )(flat_params[None, :], *mats, *[rays7[i] for i in range(7)])
     hist = amin = argpos = nact = None
     outs = list(outs)
     if log_hist and tau != 0.0:
@@ -368,19 +375,25 @@ def _call_render_kernel(sdf_c, unravel, flat_params, rays7, steps, tau,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7))
-def fused_march_normals(sdf_c, unravel, flat_params, rays7, steps, tau,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6, 7, 8))
+def fused_march_normals(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
                         normals_eps, interpret):
-    """rays7 (7, rows, 128) → (8, rows, 128): x y z d nx ny nz lap."""
+    """rays7 (7, rows, 128) → (8, rows, 128): x y z d nx ny nz lap.
+
+    ``flat_params``/``mats``/``rebuild`` come from
+    :func:`ops.pallas_march.split_params_padded` — matrix leaves (neural
+    SDF weights) enter the kernel as native 2-D VMEM inputs so the MXU
+    matmul evaluator can consume them (Mosaic cannot rebuild matrices from
+    the flat lane vector)."""
     return _call_render_kernel(
-        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+        sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
         interpret, False,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7))
-def fused_march_normals_cov(sdf_c, unravel, flat_params, rays7, steps, tau,
-                            normals_eps, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6, 7, 8))
+def fused_march_normals_cov(sdf_c, rebuild, flat_params, mats, rays7, steps,
+                            tau, normals_eps, interpret):
     """Coverage variant: rays7 (7, rows, 128) → (9, rows, 128) — the 8
     planes of :func:`fused_march_normals` plus the along-ray closest
     approach ``min_f`` (plane 8, ``march.march_with_closest`` semantics).
@@ -388,15 +401,15 @@ def fused_march_normals_cov(sdf_c, unravel, flat_params, rays7, steps, tau,
     its backward routes the cotangent to the arg-min march step inside the
     fused backward kernel."""
     return _call_render_kernel(
-        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+        sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
         interpret, True,
     )
 
 
-def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7,
-                  track_min=False):
+def _reference_fn(sdf_c, rebuild, steps, tau, normals_eps, flat_params, mats,
+                  rays7, track_min=False):
     """Plane-native jnp recompute of the kernel (for the backward pass)."""
-    params = unravel(flat_params)
+    params = rebuild(flat_params, mats)
     px, py, pz, dx, dy, dz = (rays7[i] for i in range(6))
     valid = rays7[6] > 0.5
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(px.dtype))
@@ -437,7 +450,7 @@ def _reference_fn(sdf_c, unravel, steps, tau, normals_eps, flat_params, rays7,
     return jnp.stack(planes, axis=0)
 
 
-def _hist_enabled(rays7, steps, tau, track_min=False):
+def _hist_enabled(rays7, steps, tau, track_min=False, mats=()):
     """Whether the differentiated forward should log its march history for
     the backward kernel (skips the backward's in-kernel forward recompute;
     bitwise-identical gradients). For tau > 0 the early-exit forward logs
@@ -463,37 +476,39 @@ def _hist_enabled(rays7, steps, tau, track_min=False):
     # 46.6 → 38.4 ms fwd+bwd, the handoff still wins with the history in
     # HBM) while keeping f64 / 64-step monsters on the recompute path.
     cap = int(os.environ.get("RM_TPU_BWD_HIST_MAX", str(2**32)))
-    rows_per_tile = min(DEFAULT_ROWS_PER_TILE, rays7.shape[1])
+    from ray_marching_tpu.ops.pallas_march import _tile_rows, matmul_width
+
+    rows_per_tile = _tile_rows(rays7.shape[1], matmul_width(mats))
     rows_padded = rays7.shape[1] + (-rays7.shape[1] % rows_per_tile)
     bytes_ = (steps + 1) * 3 * rows_padded * LANES * rays7.dtype.itemsize
     return bytes_ <= cap
 
 
-def _fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+def _fwd(sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
          interpret):
-    if _hist_enabled(rays7, steps, tau):
+    if _hist_enabled(rays7, steps, tau, mats=mats):
         out, hist, _, _, nact = _call_render_kernel(
-            sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+            sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
             interpret, False, log_hist=True,
         )
     else:
         out, hist, nact = (
             fused_march_normals(
-                sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
-                interpret,
+                sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
+                normals_eps, interpret,
             ),
             None,
             None,
         )
-    return out, (flat_params, rays7, hist, nact)
+    return out, (flat_params, mats, rays7, hist, nact)
 
 
-def _bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
-    flat_params, rays7, hist, nact = residuals
+def _bwd(sdf_c, rebuild, steps, tau, normals_eps, interpret, residuals, g):
+    flat_params, mats, rays7, hist, nact = residuals
     from ray_marching_tpu.ops.pallas_backward import fused_backward
 
     return fused_backward(
-        sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
+        sdf_c, rebuild, flat_params, mats, rays7, g, steps, normals_eps,
         interpret, tau=tau, hist=hist, nact=nact,
     )
 
@@ -501,32 +516,33 @@ def _bwd(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
 fused_march_normals.defvjp(_fwd, _bwd)
 
 
-def _fwd_cov(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
-             interpret):
-    if _hist_enabled(rays7, steps, tau, track_min=True):
+def _fwd_cov(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
+             normals_eps, interpret):
+    if _hist_enabled(rays7, steps, tau, track_min=True, mats=mats):
         out, hist, amin, _, _ = _call_render_kernel(
-            sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+            sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
             interpret, True, log_hist=True,
         )
     else:
         out, hist, amin = (
             fused_march_normals_cov(
-                sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
-                interpret,
+                sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
+                normals_eps, interpret,
             ),
             None,
             None,
         )
     minf = out[8] if hist is not None else None
-    return out, (flat_params, rays7, hist, amin, minf)
+    return out, (flat_params, mats, rays7, hist, amin, minf)
 
 
-def _bwd_cov(sdf_c, unravel, steps, tau, normals_eps, interpret, residuals, g):
-    flat_params, rays7, hist, amin, minf = residuals
+def _bwd_cov(sdf_c, rebuild, steps, tau, normals_eps, interpret, residuals,
+             g):
+    flat_params, mats, rays7, hist, amin, minf = residuals
     from ray_marching_tpu.ops.pallas_backward import fused_backward
 
     return fused_backward(
-        sdf_c, unravel, flat_params, rays7, g, steps, normals_eps,
+        sdf_c, rebuild, flat_params, mats, rays7, g, steps, normals_eps,
         interpret, track_min=True, tau=tau, hist=hist, amin=amin, minf=minf,
     )
 
@@ -541,8 +557,9 @@ fused_march_normals_cov.defvjp(_fwd_cov, _bwd_cov)
 # ---------------------------------------------------------------------------
 
 
-def _tail_planes(sdf_c, unravel, normals_eps, valid, flat_params, x, y, z):
-    params = unravel(flat_params)
+def _tail_planes(sdf_c, rebuild, normals_eps, valid, flat_params, mats,
+                 x, y, z):
+    params = rebuild(flat_params, mats)
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(x.dtype))
     zero = jnp.zeros((), x.dtype)
     d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
@@ -558,47 +575,48 @@ def _tail_planes(sdf_c, unravel, normals_eps, valid, flat_params, x, y, z):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7, 8, 9))
-def fused_march_normals_ift(sdf_c, unravel, flat_params, rays7, steps, tau,
-                            normals_eps, interpret, hit_threshold=0.05,
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6, 7, 8, 9, 10)
+)
+def fused_march_normals_ift(sdf_c, rebuild, flat_params, mats, rays7, steps,
+                            tau, normals_eps, interpret, hit_threshold=0.05,
                             denom_eps=1e-6):
     return fused_march_normals(
-        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
+        sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
+        interpret
     )
 
 
-def _ift_fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
-             interpret, hit_threshold, denom_eps):
+def _ift_fwd(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
+             normals_eps, interpret, hit_threshold, denom_eps):
     out = fused_march_normals(
-        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
+        sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
+        interpret
     )
-    return out, (flat_params, rays7, out)
+    return out, (flat_params, mats, rays7, out)
 
 
-def _ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret,
+def _ift_bwd(sdf_c, rebuild, steps, tau, normals_eps, interpret,
              hit_threshold, denom_eps, residuals, g):
-    flat_params, rays7, out = residuals
+    flat_params, mats, rays7, out = residuals
     x, y, z = out[0], out[1], out[2]
     d_star = out[3]
     px, py, pz, vx, vy, vz = (rays7[i] for i in range(6))
     valid = rays7[6] > 0.5
 
     # Tail (terminal distance + normals + laplacian) cotangents: one VJP.
-    tail = functools.partial(_tail_planes, sdf_c, unravel, normals_eps, valid)
-    _, tail_vjp = jax.vjp(tail, flat_params, x, y, z)
-    gtheta, gx, gy, gz = tail_vjp((g[3], g[4], g[5], g[6], g[7]))
+    tail = functools.partial(_tail_planes, sdf_c, rebuild, normals_eps, valid)
+    _, tail_vjp = jax.vjp(tail, flat_params, mats, x, y, z)
+    gtheta, gmats, gx, gy, gz = tail_vjp((g[3], g[4], g[5], g[6], g[7]))
     gx, gy, gz = gx + g[0], gy + g[1], gz + g[2]
 
     # IFT at the fixed point: ∇f via one more VJP, then closed-form routing.
-    params = unravel(flat_params)
+    def f_only(flat, mats, x, y, z):
+        return sdf_c(rebuild(flat, mats), x, y, z)
 
-    def f_only(flat, x, y, z):
-        p = unravel(flat)
-        return sdf_c(p, x, y, z)
-
-    _, f_vjp = jax.vjp(f_only, flat_params, x, y, z)
+    _, f_vjp = jax.vjp(f_only, flat_params, mats, x, y, z)
     ones = jnp.ones_like(d_star)
-    _, nfx, nfy, nfz = f_vjp(ones)
+    _, _, nfx, nfy, nfz = f_vjp(ones)
 
     denom = vx * nfx + vy * nfy + vz * nfz
     safe = jnp.where(
@@ -610,8 +628,9 @@ def _ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret,
     g_dot_v = gx * vx + gy * vy + gz * vz
     w = jnp.where(hit, -g_dot_v / safe, jnp.zeros_like(g_dot_v))
 
-    gtheta_march, _, _, _ = f_vjp(w)
+    gtheta_march, gmats_march, _, _, _ = f_vjp(w)
     gtheta = gtheta + gtheta_march
+    gmats = jax.tree_util.tree_map(jnp.add, gmats, gmats_march)
 
     t_star = (x - px) * vx + (y - py) * vy + (z - pz) * vz
     gp0x, gp0y, gp0z = gx + nfx * w, gy + nfy * w, gz + nfz * w
@@ -623,15 +642,17 @@ def _ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret,
         ],
         axis=0,
     )
-    return gtheta, rays7_cot
+    return gtheta, gmats, rays7_cot
 
 
 fused_march_normals_ift.defvjp(_ift_fwd, _ift_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7, 8, 9))
-def fused_march_normals_cov_ift(sdf_c, unravel, flat_params, rays7, steps,
-                                tau, normals_eps, interpret,
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6, 7, 8, 9, 10)
+)
+def fused_march_normals_cov_ift(sdf_c, rebuild, flat_params, mats, rays7,
+                                steps, tau, normals_eps, interpret,
                                 hit_threshold=0.05, denom_eps=1e-6):
     """Coverage variant with O(1) backward: IFT endpoint gradients for the
     8 render planes plus **argmin-frozen** min_f gradients —
@@ -640,26 +661,27 @@ def fused_march_normals_cov_ift(sdf_c, unravel, flat_params, rays7, steps,
     :func:`ray_marching_tpu.render.implicit.march_with_closest_implicit`;
     the exact path (:func:`fused_march_normals_cov`) remains the default."""
     return fused_march_normals_cov(
-        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps, interpret
+        sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
+        interpret
     )
 
 
-def _cov_ift_fwd(sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
-                 interpret, hit_threshold, denom_eps):
+def _cov_ift_fwd(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
+                 normals_eps, interpret, hit_threshold, denom_eps):
     out, _, _, argpos, _ = _call_render_kernel(
-        sdf_c, unravel, flat_params, rays7, steps, tau, normals_eps,
+        sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
         interpret, True, track_argpos=True,
     )
-    return out, (flat_params, rays7, out, argpos)
+    return out, (flat_params, mats, rays7, out, argpos)
 
 
-def _cov_ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret,
+def _cov_ift_bwd(sdf_c, rebuild, steps, tau, normals_eps, interpret,
                  hit_threshold, denom_eps, residuals, g):
-    flat_params, rays7, out, argpos = residuals
+    flat_params, mats, rays7, out, argpos = residuals
     # Endpoint planes: identical routing to _ift_bwd (it reads g[0..7]).
-    gtheta, rays7_cot = _ift_bwd(
-        sdf_c, unravel, steps, tau, normals_eps, interpret, hit_threshold,
-        denom_eps, (flat_params, rays7, out), g,
+    gtheta, gmats, rays7_cot = _ift_bwd(
+        sdf_c, rebuild, steps, tau, normals_eps, interpret, hit_threshold,
+        denom_eps, (flat_params, mats, rays7, out), g,
     )
     # min_f, argmin frozen: one joint VJP of f at p_m; the position route
     # p_m = p0 + t_m·v (t_m frozen) carries the cotangent to the ray.
@@ -667,11 +689,11 @@ def _cov_ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret,
     gminf = jnp.where(valid, g[8], jnp.zeros_like(g[8]))
     xm, ym, zm = argpos[0], argpos[1], argpos[2]
 
-    def f_only(flat, x, y, z):
-        return sdf_c(unravel(flat), x, y, z)
+    def f_only(flat, mats, x, y, z):
+        return sdf_c(rebuild(flat, mats), x, y, z)
 
-    _, f_vjp = jax.vjp(f_only, flat_params, xm, ym, zm)
-    dtheta, gmx, gmy, gmz = f_vjp(gminf)
+    _, f_vjp = jax.vjp(f_only, flat_params, mats, xm, ym, zm)
+    dtheta, dmats, gmx, gmy, gmz = f_vjp(gminf)
     px, py, pz, vx, vy, vz = (rays7[i] for i in range(6))
     t_m = (xm - px) * vx + (ym - py) * vy + (zm - pz) * vz
     add = jnp.stack(
@@ -679,7 +701,8 @@ def _cov_ift_bwd(sdf_c, unravel, steps, tau, normals_eps, interpret,
          jnp.zeros_like(gmx)],
         axis=0,
     )
-    return gtheta + dtheta, rays7_cot + add
+    gmats = jax.tree_util.tree_map(jnp.add, gmats, dmats)
+    return gtheta + dtheta, gmats, rays7_cot + add
 
 
 fused_march_normals_cov_ift.defvjp(_cov_ift_fwd, _cov_ift_bwd)

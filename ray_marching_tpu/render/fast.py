@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from ray_marching_tpu.ops.pallas_march import ravel_params_padded
+from ray_marching_tpu.ops.pallas_march import split_params_padded
 
 from ray_marching_tpu import quat
 from ray_marching_tpu.camera import CameraConfig, _pixel_center_grid
@@ -199,14 +199,15 @@ class FastRenderer:
             hi = self._masked_max(log_d, valid_b, axis_names)
         return ((log_d - lo) / (hi - lo)) ** (1.0 / 2.33)
 
-    def norm_bounds(self, mode, origin, hit, valid_b=None):
+    def norm_bounds(self, mode, origin, hit, valid_b=None, axis_names=()):
         """(lo, hi) of ``mode``'s whole-image normalization statistic over
         this renderer's rays — pass 1 of two-pass tiled rendering, where
         the reference's whole-image min/max (shader.py:34-37,51-54,83-84)
         must span ALL strips before any strip can shade. Same formulas as
         the corresponding `_shade` branches; pinned by the tiled-vs-full
         parity tests. Modes without a global normalization return (0, 1)
-        dummies."""
+        dummies. ``axis_names`` extends the reduction across mesh axes
+        (sharded strips — parallel/fast_sharding + tiled mesh mode)."""
         x, y, z, d = hit[0], hit[1], hit[2], hit[3]
         lap = hit[7]
         name = mode if isinstance(mode, str) \
@@ -223,8 +224,8 @@ class FastRenderer:
             zero = jnp.zeros((), x.dtype)
             return zero, zero + 1.0
         return (
-            self._masked_min(raw, valid_b),
-            self._masked_max(raw, valid_b),
+            self._masked_min(raw, valid_b, axis_names),
+            self._masked_max(raw, valid_b, axis_names),
         )
 
     def _angle_colouring(self, real, imag, degree):
@@ -345,7 +346,7 @@ class FastRenderer:
         (primary visibility only — incompatible with reflection bounces)."""
         cfg = self.config
         valid = self._valid if valid is None else valid
-        flat_params, unravel = ravel_params_padded(params, self.dtype)
+        flat_params, mats, rebuild = split_params_padded(params, self.dtype)
         if with_closest and cfg.backward == "implicit":
             # IFT endpoint + argmin-frozen min_f (O(1) backward, same
             # approximation as the modular march_with_closest_implicit).
@@ -369,8 +370,8 @@ class FastRenderer:
         def run(origin, dirs):
             rays7 = jnp.stack(list(origin) + list(dirs) + [valid], axis=0)
             out = march(
-                self.sdf_c, unravel, flat_params, rays7, steps, cfg.tau,
-                cfg.normals_eps, self.interpret,
+                self.sdf_c, rebuild, flat_params, mats, rays7, steps,
+                cfg.tau, cfg.normals_eps, self.interpret,
             )
             return [out[i] for i in range(out.shape[0])]
 

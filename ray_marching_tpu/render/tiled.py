@@ -58,13 +58,21 @@ class TiledRenderer:
 
     def __init__(self, scene: Node, config: RenderConfig, *,
                  strip_height: int = 512, dtype=jnp.float32,
-                 grid_dtype=np.float32, interpret: Optional[bool] = None):
+                 grid_dtype=np.float32, interpret: Optional[bool] = None,
+                 mesh=None):
         if strip_height < 1:
             raise ValueError(f"strip_height must be >= 1, got {strip_height}")
         self.config = config
         self.num_cameras = config.num_cameras
         self.strip_height = min(strip_height, config.px_height)
         self.grid_dtype = grid_dtype
+        # ``mesh``: a jax.sharding.Mesh — every strip's device pass then
+        # runs the fused kernel row-sharded over ALL devices (sharded ×
+        # tiled composition: wall-size frames use every chip, SURVEY §5
+        # "sequence scaling = rendering 4K+ images by tiling across
+        # chips"). The per-strip stats/shade collectives are two scalar
+        # pmin/pmax — everything else is communication-free per ray.
+        self.mesh = mesh
         # The device-side worker is always a 1-camera strip renderer;
         # multi-camera batches loop (camera, strip) pairs on the host with
         # each camera's pose row, and the whole-image normalizations span
@@ -72,8 +80,12 @@ class TiledRenderer:
         strip_cfg = dataclasses.replace(
             config, px_height=self.strip_height, num_cameras=1
         )
-        self.fast = FastRenderer(scene, strip_cfg, dtype=dtype,
-                                 grid_dtype=grid_dtype, interpret=interpret)
+        self.fast = FastRenderer(
+            scene, strip_cfg, dtype=dtype, grid_dtype=grid_dtype,
+            interpret=interpret,
+            # Row shards must be whole 8-row sublane tiles on every device.
+            row_multiple=8 * mesh.devices.size if mesh is not None else None,
+        )
         self.dtype = dtype
         self.init_params = self.fast.init_params
         self.num_strips = -(-config.px_height // self.strip_height)
@@ -108,6 +120,7 @@ class TiledRenderer:
             return self._fns[key]
         fast = self.fast
         steps = self.config.marching_steps
+        axes = tuple(self.mesh.axis_names) if self.mesh is not None else ()
 
         def march(params, q, t, pos0, dir0, valid):
             origin, dirs = pose_plane_group(q, t, pos0, dir0)
@@ -118,15 +131,45 @@ class TiledRenderer:
 
         def stats(params, q, t, pos0, dir0, valid):
             origin, _, hit = march(params, q, t, pos0, dir0, valid)
-            return fast.norm_bounds(mode, origin, hit, valid_b=valid > 0.5)
+            return fast.norm_bounds(mode, origin, hit, valid_b=valid > 0.5,
+                                    axis_names=axes)
 
-        def shade(params, q, t, pos0, dir0, valid, bounds):
+        def shade_channels(params, q, t, pos0, dir0, valid, bounds):
             origin, dirs, hit = march(params, q, t, pos0, dir0, valid)
             channels = fast._shade(
                 mode, degree, q, origin, dirs, hit, valid_b=valid > 0.5,
                 norm_bounds=bounds, params=params,
             )
-            return fast._assemble(channels)
+            return jnp.stack(channels, axis=0)
+
+        if self.mesh is not None:
+            # Sharded × tiled: each strip's device pass runs row-sharded
+            # over the whole mesh. The fixed per-strip bounds make shade
+            # collective-free; stats needs the two pmin/pmax above
+            # (norm_bounds axis_names). Pose cotangents psum through
+            # shard_map's transpose like fast_sharding's paths.
+            from jax.sharding import PartitionSpec as P
+
+            rep = P()
+            plane = P(axes, None)
+            stats = jax.shard_map(
+                stats, mesh=self.mesh,
+                in_specs=(rep, rep, rep, (plane,) * 3, (plane,) * 3, plane),
+                out_specs=(rep, rep),
+                check_vma=False,
+            )
+            shade_channels = jax.shard_map(
+                shade_channels, mesh=self.mesh,
+                in_specs=(rep, rep, rep, (plane,) * 3, (plane,) * 3, plane,
+                          (rep, rep)),
+                out_specs=P(None, axes, None),
+                check_vma=False,
+            )
+
+        def shade(params, q, t, pos0, dir0, valid, bounds):
+            return fast._assemble(
+                shade_channels(params, q, t, pos0, dir0, valid, bounds)
+            )
 
         fns = (jax.jit(stats), jax.jit(shade))
         self._fns[key] = fns
@@ -306,49 +349,108 @@ class TiledRenderer:
 
     # -- strip-accumulated gradients ------------------------------------------
 
-    def _get_grad_fn(self, mode: int, degree: int):
-        key = ("grad", mode, degree)
+    def _get_grad_fn(self, mode: int, degree: int, *, with_pose=False,
+                     with_alpha=False, loss_fn=None):
+        key = ("grad", mode, degree, with_pose, with_alpha,
+               None if loss_fn is None else id(loss_fn))
         if key in self._fns:
             return self._fns[key]
         self._get_fns(mode, degree)
         shade = self._fns[("raw_shade", mode, degree)]
+        fast = self.fast
+        steps = self.config.marching_steps
         n_px = (
             self.num_cameras * self.config.px_height
             * self.config.px_width * 3
         )
+        n_apx = (
+            self.num_cameras * self.config.px_height * self.config.px_width
+        )
+        if loss_fn is None:
+            # Default per-pixel loss: squared error, render NaNs compare
+            # as 0 (optim.inverse semantics).
+            loss_fn = lambda img, tgt: jnp.square(
+                jnp.nan_to_num(img, nan=0.0) - tgt
+            )
 
-        def strip_loss(params, q, t, pos0, dir0, valid, bounds, target):
+        def strip_alpha(params, q, t, pos0, dir0, valid, beta):
+            from ray_marching_tpu.render.silhouette import soft_coverage
+
+            origin, dirs = pose_plane_group(q, t, pos0, dir0)
+            _, _, minf = fast._march_planes(
+                params, origin, dirs, steps, valid=valid, with_closest=True
+            )
+            return fast._assemble([soft_coverage(minf, beta)])
+
+        def strip_loss(params, q, t, pos0, dir0, valid, bounds, target,
+                       alpha_target, beta, alpha_weight):
             img = shade(params, q, t, pos0, dir0, valid, bounds)
-            err = jnp.nan_to_num(img[0, : target.shape[0]], nan=0.0) - target
-            return jnp.sum(err * err) / n_px
+            loss = jnp.sum(loss_fn(img[0, : target.shape[0]], target)) / n_px
+            if with_alpha:
+                # min_f is per-ray, so the soft silhouette needs no
+                # cross-strip work — each strip marches once more with the
+                # coverage plane and contributes its α rows exactly.
+                alpha = strip_alpha(params, q, t, pos0, dir0, valid, beta)
+                aerr = jnp.square(
+                    alpha[0, : alpha_target.shape[0]] - alpha_target
+                )
+                loss = loss + alpha_weight * jnp.sum(aerr) / n_apx
+            return loss
 
-        fn = jax.jit(jax.value_and_grad(strip_loss))
+        argnums = (0, 1, 2) if with_pose else 0
+        fn = jax.jit(jax.value_and_grad(strip_loss, argnums=argnums))
         self._fns[key] = fn
         return fn
 
     def loss_and_grad(self, params, orientation, translation, target, *,
-                      mode: int = 0, degree: int = 1):
-        """Image-MSE loss and scene-parameter gradient, accumulated strip
-        by strip — inverse rendering at resolutions whose single backward
-        pass (march history + planes) would not fit one device pass.
+                      mode: int = 0, degree: int = 1, with_pose=False,
+                      loss_fn=None, alpha_target=None, alpha_weight=1.0,
+                      beta=None):
+        """Pixel loss and gradients, accumulated strip by strip — inverse
+        rendering at resolutions whose single backward pass (march history
+        + planes) would not fit one device pass.
 
-        The pixel loss is the image-space MSE against ``target``
-        ((N, H, W, 3), NaN pixels of the render compare as 0 like
-        ``optim.inverse``; multi-camera batches loop (camera, strip)
-        pairs). Gradients are EXACT (sum of per-strip
-        cotangents) for modes without a whole-image normalization; for
-        distance/proximity/laplacian the merged bounds are treated as
-        constants, i.e. the measure-zero gradient routed through the
-        arg-extremum pixel by full autodiff is dropped (the loss value is
-        exact either way — and full autodiff's routed gradient is NaN at
-        that pixel anyway: x**(1/2.33) has infinite slope at x = 0).
+        Args:
+            target: (N, H, W, 3) target image. The default per-pixel loss
+                is the squared error (NaN render pixels compare as 0, like
+                ``optim.inverse``), normalized by the total pixel count so
+                the value matches a one-pass whole-image MSE.
+            with_pose: also differentiate w.r.t. the camera pose — returns
+                ``(loss, (params_grad, orientation_grad, translation_grad))``
+                with per-camera pose rows assembled to (N, 4)/(N, 3).
+            loss_fn: pluggable per-pixel loss ``f(img_rows, tgt_rows) ->
+                per-pixel values`` (summed and normalized by total pixels);
+                default squared error.
+            alpha_target: optional (N, H, W, 1) silhouette target — adds
+                ``alpha_weight · MSE(soft_coverage, alpha_target)`` with
+                the fused coverage march per strip (min_f is per-ray, so
+                strips compose exactly; ``beta`` defaults to
+                config.silhouette_beta).
+
+        Gradients are EXACT (sum of per-strip cotangents) for modes
+        without a whole-image normalization; for distance/proximity/
+        laplacian the merged bounds are treated as constants, i.e. the
+        measure-zero gradient routed through the arg-extremum pixel by
+        full autodiff is dropped (the loss value is exact either way —
+        and full autodiff's routed gradient is NaN at that pixel anyway:
+        x**(1/2.33) has infinite slope at x = 0).
         """
+        cfg = self.config
+        if alpha_target is not None and cfg.reflection_bounces:
+            raise ValueError("alpha_target: reflection bounces unsupported")
+        with_alpha = alpha_target is not None
         stats_fn, _ = self._get_fns(mode, degree)
-        grad_fn = self._get_grad_fn(mode, degree)
+        grad_fn = self._get_grad_fn(
+            mode, degree, with_pose=with_pose, with_alpha=with_alpha,
+            loss_fn=loss_fn,
+        )
         name = shaders.MODES[mode % len(shaders.MODES)]
         poses = self._cam_rows(orientation, translation)
         np_dtype = np.dtype(self.dtype)
         target = np.asarray(target)
+        beta = cfg.silhouette_beta if beta is None else beta
+        beta = jnp.asarray(beta, self.dtype)
+        alpha_weight = jnp.asarray(alpha_weight, self.dtype)
 
         if name in TWO_PASS_MODES:
             bounds = self._merged_bounds(stats_fn, params, poses, np_dtype)
@@ -357,19 +459,40 @@ class TiledRenderer:
 
         loss = 0.0
         grads = None
+        pose_grads = []
+        dummy_alpha = jnp.zeros((1, 1, 1), self.dtype)
         for n, (qn, tn) in enumerate(poses):
+            gq = gt = None
             for s in range(self.num_strips):
                 pos0, dir0, valid, rows_real = self._strip_planes(s)
                 r0 = s * self.strip_height
                 tgt = jnp.asarray(
                     target[n, r0: r0 + rows_real], self.dtype
                 )
-                sl, sg = grad_fn(
-                    params, qn, tn, pos0, dir0, valid, bounds, tgt
+                atgt = (
+                    jnp.asarray(
+                        np.asarray(alpha_target)[n, r0: r0 + rows_real],
+                        self.dtype,
+                    )
+                    if with_alpha else dummy_alpha
                 )
+                sl, sg = grad_fn(
+                    params, qn, tn, pos0, dir0, valid, bounds, tgt, atgt,
+                    beta, alpha_weight,
+                )
+                if with_pose:
+                    sg, sgq, sgt = sg
+                    gq = sgq if gq is None else gq + sgq
+                    gt = sgt if gt is None else gt + sgt
                 loss = loss + sl
                 grads = (
                     sg if grads is None
                     else jax.tree_util.tree_map(jnp.add, grads, sg)
                 )
+            if with_pose:
+                pose_grads.append((gq, gt))
+        if with_pose:
+            gq = jnp.concatenate([g[0] for g in pose_grads], axis=0)
+            gt = jnp.concatenate([g[1] for g in pose_grads], axis=0)
+            return loss, (grads, gq, gt)
         return loss, grads

@@ -8,12 +8,22 @@ rendering trains neural implicit surfaces through the renderer exactly like
 analytic radii (cf. the neural-SDF differentiable-rendering literature,
 PAPERS.md).
 
-TPU note: the MLP is evaluated **componentwise over coordinate planes** —
-hidden unit j is itself a (rows, 128) plane computed as
-``act(x·W1[0,j] + y·W1[1,j] + z·W1[2,j] + b_j)`` and deeper layers are
-plane linear combinations. At the widths that matter for shape fitting
-(8–64) this stays in the Pallas mega-kernel as pure VPU ops: no reshapes,
-no gathers, and the same code runs under jnp and Mosaic.
+TPU note — two evaluation strategies, selected by width (``impl`` field):
+
+* ``componentwise``: hidden unit j is itself a (rows, 128) plane computed
+  as ``act(x·W1[0,j] + y·W1[1,j] + z·W1[2,j] + b_j)`` and deeper layers
+  are plane linear combinations — pure VPU ops, O(width²) plane FMAs per
+  layer. Optimal for tiny widths (≤ ~16) where matmul padding would waste
+  the MXU.
+* ``matmul``: coordinates are collapsed to one ray-major block
+  ``P = (3, N)`` and the whole MLP runs as a chain of 2-D matmuls
+  ``H ← act(Wᵢᵀ @ H + bᵢ)`` on the **MXU** (the systolic array — the
+  hardware unit the componentwise form never touches). The collapse is a
+  lane-major reshape ``(rows, 128) → (1, rows·128)``, which Mosaic lowers
+  (verified on v5e), so the SAME evaluator runs under jnp/XLA AND inside
+  the fused Pallas mega-kernel; XLA paths fuse the reshapes away
+  entirely. Width scaling is the MXU's, not the VPU's — see
+  docs/PERFORMANCE.md for the measured crossover.
 
 Activations: ``sine`` (SIREN init — the standard choice for coordinate
 MLPs), ``softplus``, ``tanh``.
@@ -30,6 +40,12 @@ import numpy as np
 from ray_marching_tpu.scene.graph import Node
 
 
+#: "auto" impl picks matmul at/above this max hidden width — measured
+#: crossover on TPU v5e (docs/PERFORMANCE.md: componentwise wins at 16,
+#: matmul from 32 up).
+MATMUL_MIN_WIDTH = 32
+
+
 @dataclass(frozen=True)
 class NeuralSDF(Node):
     """MLP distance field leaf.
@@ -42,6 +58,17 @@ class NeuralSDF(Node):
         scale: output scale — a freshly-initialized field is roughly a
             sphere-ish blob of this radius around the origin (see
             init_neural_params).
+        impl: 'auto' (width-based, MATMUL_MIN_WIDTH) | 'matmul' (MXU) |
+            'componentwise' (VPU planes). Same math either way; matmul
+            reassociates the accumulation (parity to roundoff, pinned by
+            tests/test_neural_matmul.py).
+        matmul_dtype: matmul OPERAND precision for the matmul impl —
+            'float32' (default; exact, but each f32 dot decomposes into
+            multiple MXU bf16 passes) or 'bfloat16' (native single-pass
+            MXU: operands round to bf16, accumulation stays f32 via
+            preferred_element_type — ~3 decimal digits on the field value,
+            usually immaterial next to sphere-tracing convergence
+            tolerance; measure on your scene).
     """
 
     hidden: Tuple[int, ...] = (16, 16)
@@ -49,6 +76,8 @@ class NeuralSDF(Node):
     w0: float = 8.0
     seed: int = 0
     scale: float = 0.5
+    impl: str = "auto"
+    matmul_dtype: str = "float32"
 
 
 def init_neural_params(node: NeuralSDF, dtype=jnp.float32):
@@ -72,21 +101,28 @@ def init_neural_params(node: NeuralSDF, dtype=jnp.float32):
     return params
 
 
-def neural_sdf(node: NeuralSDF):
-    """Compile a componentwise evaluator ``f(params, x, y, z) -> d``.
+def _activation(node: NeuralSDF):
+    if node.activation == "sine":
+        return jnp.sin
+    if node.activation == "softplus":
+        return lambda v: jnp.logaddexp(v, 0.0)
+    return jnp.tanh
 
-    The field is ``sphere(|p|, radius) + mlp(p)`` — an analytic skip term
-    keeps the far field eikonal-ish so sphere tracing converges while the
-    MLP shapes the surface.
+
+def _base_term(params, x, y, z):
+    """Analytic sphere skip term: keeps the far field eikonal-ish so sphere
+    tracing converges while the MLP shapes the surface."""
+    return jnp.sqrt(x * x + y * y + z * z) - params["radius"]
+
+
+def neural_sdf_componentwise(node: NeuralSDF):
+    """Componentwise (VPU-plane) evaluator ``f(params, x, y, z) -> d``.
+
+    O(width²) plane FMAs per hidden layer — the right form for tiny widths
+    where MXU tiles would run mostly empty.
     """
     n_layers = len(node.hidden) + 1
-
-    if node.activation == "sine":
-        act = jnp.sin
-    elif node.activation == "softplus":
-        act = lambda v: jnp.logaddexp(v, 0.0)
-    else:
-        act = jnp.tanh
+    act = _activation(node)
 
     def evaluate(params, x, y, z):
         planes = [x, y, z]
@@ -104,10 +140,77 @@ def neural_sdf(node: NeuralSDF):
                     acc = act(acc * scale)
                 out_planes.append(acc)
             planes = out_planes
-        base = jnp.sqrt(x * x + y * y + z * z) - params["radius"]
-        return base + planes[0]
+        return _base_term(params, x, y, z) + planes[0]
 
     return evaluate
+
+
+def neural_sdf_matmul(node: NeuralSDF):
+    """Matmul-native (MXU) evaluator ``f(params, x, y, z) -> d``.
+
+    Coordinates collapse to a ray-major block ``P = (3, N)``; every layer
+    is one 2-D matmul ``H ← act(Wᵀ @ H + b)`` with N rays on lanes — the
+    shape the 128×128 systolic array is built for. The collapse reshape
+    ``(rows, 128) → (1, rows·128)`` lowers under Mosaic (verified v5e), so
+    this evaluator runs inside the fused Pallas mega-kernel too; under
+    jnp/XLA the reshapes fuse away. Bitwise-identical to itself across
+    paths; differs from the componentwise form only by accumulation order.
+    """
+    n_layers = len(node.hidden) + 1
+    act = _activation(node)
+    op_dtype = jnp.bfloat16 if node.matmul_dtype == "bfloat16" else None
+
+    def evaluate(params, x, y, z):
+        shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
+        n = 1
+        for s in shape:
+            n *= s
+        dtype = jnp.result_type(x, y, z)
+        h = jnp.concatenate(
+            [
+                jnp.broadcast_to(v, shape).astype(dtype).reshape(1, n)
+                for v in (x, y, z)
+            ],
+            axis=0,
+        )  # (3, N) ray-major block
+        for layer in range(n_layers):
+            w = params[f"w{layer}"]  # (nin, nout)
+            b = params[f"b{layer}"]  # (nout,)
+            scale = node.w0 if (layer == 0 and node.activation == "sine") else 1.0
+            lhs, rhs = w.T, h
+            if op_dtype is not None and dtype == jnp.float32:
+                lhs, rhs = lhs.astype(op_dtype), rhs.astype(op_dtype)
+            h = (
+                jnp.dot(lhs, rhs, preferred_element_type=dtype)
+                + b.reshape(-1, 1)
+            )  # (nout, N) — MXU, f32 accumulation
+            if layer < n_layers - 1:
+                h = act(h * scale)
+        return _base_term(params, x, y, z) + h.reshape(shape)
+
+    return evaluate
+
+
+def resolve_impl(node: NeuralSDF) -> str:
+    if node.impl != "auto":
+        return node.impl
+    width = max(node.hidden) if node.hidden else 0
+    return "matmul" if width >= MATMUL_MIN_WIDTH else "componentwise"
+
+
+def neural_sdf(node: NeuralSDF):
+    """Compile the evaluator ``f(params, x, y, z) -> d`` (impl-dispatched).
+
+    The field is ``sphere(|p|, radius) + mlp(p)`` — an analytic skip term
+    keeps the far field eikonal-ish so sphere tracing converges while the
+    MLP shapes the surface.
+    """
+    impl = resolve_impl(node)
+    if impl == "matmul":
+        return neural_sdf_matmul(node)
+    if impl == "componentwise":
+        return neural_sdf_componentwise(node)
+    raise ValueError(f"unknown NeuralSDF impl: {node.impl!r}")
 
 
 # NeuralSDF goes through the same extensibility door as third-party nodes

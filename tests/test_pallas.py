@@ -132,15 +132,14 @@ def test_mega_kernel_matches_reference_fn():
     the kernel must reproduce it plane-for-plane across tau and coverage
     variants. Keeps the spec function honest (it has no production
     caller)."""
-    from jax.flatten_util import ravel_pytree
-
+    from ray_marching_tpu.ops.pallas_march import split_params_padded
     from ray_marching_tpu.ops.pallas_render import (
         _call_render_kernel,
         _reference_fn,
     )
 
     _, sdf_c, params, p0, v = setup(dtype=jnp.float64, shape=(256,))
-    flat, unravel = ravel_pytree(params)
+    flat, mats, rebuild = split_params_padded(params, jnp.float64)
     rows = 2
     rays7 = jnp.stack(
         [
@@ -156,10 +155,11 @@ def test_mega_kernel_matches_reference_fn():
     )
     for tau, track_min in [(0.0, False), (0.0, True), (1e-3, False)]:
         got = _call_render_kernel(
-            sdf_c, unravel, flat, rays7, 12, tau, 5e-2, True, track_min
+            sdf_c, rebuild, flat, mats, rays7, 12, tau, 5e-2, True, track_min
         )
         want = _reference_fn(
-            sdf_c, unravel, 12, tau, 5e-2, flat, rays7, track_min=track_min
+            sdf_c, rebuild, 12, tau, 5e-2, flat, mats, rays7,
+            track_min=track_min,
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-10, atol=1e-12,

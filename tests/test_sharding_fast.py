@@ -338,3 +338,58 @@ def test_sharded_fast_tau_early_exit_matches_single_device():
         )
     )
     assert moved
+
+
+# -- sharded × tiled composition ---------------------------------------------
+
+
+def _tiled_pair(mesh, strip=20, steps=10, mode=1):
+    from ray_marching_tpu.render.tiled import TiledRenderer
+
+    cfg = RenderConfig(
+        px_width=96, px_height=64,
+        focal_length=PX * 64, sensor_width=PX * 96, sensor_height=PX * 64,
+        marching_steps=steps,
+    )
+    node = registry.make_scene("test_scene2")
+    tr = TiledRenderer(node, cfg, strip_height=strip, dtype=jnp.float64,
+                       grid_dtype=np.float64, interpret=True)
+    trm = TiledRenderer(node, cfg, strip_height=strip, dtype=jnp.float64,
+                        grid_dtype=np.float64, interpret=True, mesh=mesh)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float64)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float64)
+    return tr, trm, q, t
+
+
+@pytest.mark.parametrize("mode", [0, 1, 5])
+def test_tiled_sharded_strips_match_single_device(mode):
+    """Sharded × tiled (VERDICT r2 #7): every strip row-sharded over the
+    8-device mesh — wall-size frames use every chip. Pixel equality with
+    the unsharded tiled renderer (incl. the two-pass normalized modes,
+    whose per-strip stats become pmin/pmax collectives)."""
+    mesh = make_mesh((8,), ("rays",))
+    tr, trm, q, t = _tiled_pair(mesh)
+    a = tr.render(tr.init_params, q, t, mode=mode, degree=2)
+    b = trm.render(trm.init_params, q, t, mode=mode, degree=2)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-11, equal_nan=True)
+
+
+def test_tiled_sharded_gradients_match_single_device():
+    """Strip-accumulated params+pose gradients agree between the sharded
+    and unsharded tiled paths (shard_map transpose psums the replicated
+    cotangents)."""
+    mesh = make_mesh((2, 4), ("host", "chip"))
+    tr, trm, q, t = _tiled_pair(mesh, steps=8, mode=0)
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)))
+    la, ga = tr.loss_and_grad(tr.init_params, q, t, target, mode=0,
+                              degree=2, with_pose=True)
+    lb, gb = trm.loss_and_grad(trm.init_params, q, t, target, mode=0,
+                               degree=2, with_pose=True)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-12)

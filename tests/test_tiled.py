@@ -219,3 +219,77 @@ def test_tiled_render_all_modes_matches_full():
         else:
             np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11,
                                        equal_nan=True, err_msg=name)
+
+
+def test_tiled_pose_gradients_match_full():
+    """with_pose=True: strip-accumulated pose cotangents equal the
+    one-pass renderer's (VERDICT r2 #3 — pose-at-8K is a real use case)."""
+    f, tr, q, t = make_pair(steps=10)
+    rng = np.random.default_rng(5)
+    target = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)))
+
+    def full_loss(params, q, t):
+        img = f.render(params, q, t, mode=0, degree=2)
+        return jnp.mean(jnp.square(jnp.nan_to_num(img, nan=0.0) - target))
+
+    want_l, (want_g, want_gq, want_gt) = jax.jit(
+        jax.value_and_grad(full_loss, argnums=(0, 1, 2))
+    )(f.init_params, q, t)
+    got_l, (got_g, got_gq, got_gt) = tr.loss_and_grad(
+        tr.init_params, q, t, target, mode=0, degree=2, with_pose=True
+    )
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_gq), np.asarray(want_gq),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_gt), np.asarray(want_gt),
+                               rtol=1e-8, atol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(got_g),
+                    jax.tree_util.tree_leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-12)
+
+
+def test_tiled_alpha_loss_matches_full():
+    """alpha_target: the strip-accumulated silhouette term equals the
+    one-pass render_with_alpha loss and gradient (min_f is per-ray, so
+    strips compose exactly)."""
+    f, tr, q, t = make_pair(steps=10)
+    rng = np.random.default_rng(6)
+    target = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)))
+    alpha_target = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 1)))
+
+    def full_loss(params):
+        img, alpha = f.render_with_alpha(params, q, t, mode=0, degree=2)
+        l = jnp.mean(jnp.square(jnp.nan_to_num(img, nan=0.0) - target))
+        return l + 0.5 * jnp.mean(jnp.square(alpha - alpha_target))
+
+    want_l, want_g = jax.jit(jax.value_and_grad(full_loss))(f.init_params)
+    got_l, got_g = tr.loss_and_grad(
+        tr.init_params, q, t, target, mode=0, degree=2,
+        alpha_target=alpha_target, alpha_weight=0.5,
+    )
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(got_g),
+                    jax.tree_util.tree_leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-12)
+
+
+def test_tiled_pluggable_loss():
+    """A custom per-pixel loss (L1) routes through the strip accumulation;
+    value matches the directly-computed whole-image L1."""
+    f, tr, q, t = make_pair(steps=8)
+    rng = np.random.default_rng(7)
+    target = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)))
+    l1 = lambda img, tgt: jnp.abs(jnp.nan_to_num(img, nan=0.0) - tgt)
+
+    got_l, got_g = tr.loss_and_grad(
+        tr.init_params, q, t, target, mode=4, degree=2, loss_fn=l1
+    )
+    img = np.asarray(f.render(f.init_params, q, t, mode=4, degree=2))
+    want = np.mean(np.abs(np.nan_to_num(img, nan=0.0) - np.asarray(target)))
+    np.testing.assert_allclose(float(got_l), want, rtol=1e-12)
+    assert any(
+        float(jnp.max(jnp.abs(v))) > 0
+        for v in jax.tree_util.tree_leaves(got_g)
+    )

@@ -191,9 +191,14 @@ CONFIGS = [
         grad_modes=(0, 1, 2, 3, 4, 6, 7),
     ),
     # BASELINE config 2 at spec resolution: smooth-union composite under
-    # quaternion rotations, 512². Gradient fixtures restricted to a
-    # representative mode subset to bound f64 CPU suite time (geometry,
-    # global-min/max normalization, global-max, cmap-gather classes).
+    # quaternion rotations, 512². Gradient fixtures cover every shader
+    # gradient class at spec resolution except mode 1 (distance — same
+    # global-min/max routing as mode 2, pinned there and at smaller sizes
+    # above): geometry (0), normalization (2), pixel-frame (3, vignette),
+    # global-max (5), cmap-gather tangent (6) and spin (7). Modes 3/6
+    # added round 3 (VERDICT r2 #6); regeneration of this fixture with all
+    # six grad modes: 16m42s wall (f64 CPU torch; two more 512² reference
+    # backwards vs round 2's four).
     dict(
         name="composite_512",
         scene="composite",
@@ -205,7 +210,7 @@ CONFIGS = [
         translation=(0.3, 0.1, -1.8),
         degree=2,
         image_modes=ALL_MODES,
-        grad_modes=(0, 2, 5, 7),
+        grad_modes=(0, 2, 3, 5, 6, 7),
     ),
     # BASELINE config 3 geometry: full registry scene, all 8 shaders, ONE
     # REFLECTION BOUNCE, at 512² (nearest feasible to the 1024² spec for
