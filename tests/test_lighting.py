@@ -167,7 +167,7 @@ def test_cli_parses_extra_modes():
 def _fixture():
     from pathlib import Path
 
-    path = Path(__file__).parent / "golden" / "lighting_extra.npz"
+    path = Path(__file__).parent / "fixtures" / "lighting_extra.npz"
     return np.load(path)
 
 

@@ -28,7 +28,7 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-OUT = Path(__file__).resolve().parent.parent / "tests" / "golden"
+OUT = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
 
 # Mirrors tests/test_lighting.py's renderer configuration so the frozen
 # pin exercises the same code paths as the parity tests. Scene/pose chosen
