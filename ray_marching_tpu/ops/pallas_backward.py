@@ -41,30 +41,23 @@ from ray_marching_tpu.render.normals import make_offsets
 LANES = 128
 
 
-def _store_gtheta(gtheta_ref, gtheta):
-    """Spill the (P,) parameter cotangent across the tile's (gr, 128)
-    output block, row-major (gr = ceil(P/128) rounded up to the 8-row
-    sublane tile). Built from 2-D slices/pads/concat only — Mosaic has no
-    scatter (`.at[].set`) lowering, and the row count unrolls at trace
-    time."""
-    p = gtheta.shape[0]
-    gr = gtheta_ref.shape[0]
-    rows = []
-    for r in range(gr):
-        lo = r * LANES
-        if lo >= p:
-            rows.append(jnp.zeros((1, LANES), gtheta.dtype))
-            continue
-        hi = min(lo + LANES, p)
-        # lax.slice, not gtheta[None, lo:hi]: jnp's mixed newaxis+slice
-        # indexing emits a 1-D GATHER for any non-full slice, and Mosaic
-        # only lowers 2-D gathers (first hit when neural params pushed
-        # P past one lane row).
-        chunk = lax.slice(gtheta, (lo,), (hi,))[None, :]
-        if hi - lo < LANES:
-            chunk = jnp.pad(chunk, ((0, 0), (0, LANES - (hi - lo))))
-        rows.append(chunk)
-    gtheta_ref[:] = jnp.concatenate(rows, axis=0)
+def _store_gtheta_leaves(gtheta_ref, gsmall, specs, dtype):
+    """Spill the small-leaf cotangent TUPLE across the tile's (gr, 128)
+    output block. Each leaf occupies whole rows (split_params_padded
+    aligns every segment to 128 lanes), so every store is a partial-lane
+    2-D ref write at lane offset 0 — the only spill pattern Mosaic
+    accepts (1-D concatenates whose result crosses a lane tile fail to
+    lower regardless of alignment; jnp newaxis+slice indexing emits 1-D
+    gathers; both probed on v5e)."""
+    gtheta_ref[:] = jnp.zeros(gtheta_ref.shape, dtype)
+    for (off, size, _), g in zip(specs, gsmall):
+        g1 = g.reshape(-1).astype(dtype)
+        pos = 0
+        while pos < size:
+            row = (off + pos) // LANES
+            n = min(LANES, size - pos)
+            gtheta_ref[row:row + 1, 0:n] = g1[pos:pos + n][None, :]
+            pos += n
 
 
 BWD_ROWS_PER_TILE = 128
@@ -147,7 +140,11 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
 
     flat = params_ref[0, :]
     mats = tuple(r[:] for r in mat_refs)
-    params = rebuild(flat, mats)
+    # Differentiate w.r.t. the small-leaf TUPLE, not the flat vector: the
+    # flat cotangent would need a 1-D concatenate (transpose of the
+    # unravel's split) that Mosaic cannot lower past one lane tile.
+    small0 = rebuild.split_small(flat)
+    params = rebuild.assemble(small0, mats)
     x, y, z = px_ref[:], py_ref[:], pz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     valid = valid_ref[:] > 0.5
@@ -244,8 +241,8 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
     minf, amin = (carry[3], carry[4]) if track_min else (None, None)
 
     # ---- tail: terminal distance + normals + laplacian ----
-    def tail(flat, mats, x, y, z):
-        params = rebuild(flat, mats)
+    def tail(small, mats, x, y, z):
+        params = rebuild.assemble(small, mats)
         d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
         nx, ny, nz, lap = _normals_block(
             sdf_c, params, x, y, z, d_centre, offsets, inverse, normals_eps
@@ -258,8 +255,8 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
             jnp.where(valid, lap, zero),
         )
 
-    _, tail_vjp = jax.vjp(tail, flat, mats, x, y, z)
-    gtheta, gmats, gx, gy, gz = tail_vjp(
+    _, tail_vjp = jax.vjp(tail, small0, mats, x, y, z)
+    gsmall, gmats, gx, gy, gz = tail_vjp(
         (g_ref[3], g_ref[4], g_ref[5], g_ref[6], g_ref[7])
     )
     gx = gx + g_ref[0]
@@ -275,8 +272,8 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
     # attaining step takes all that remains. The injected cotangent flows
     # into both the parameter cotangent and this step's position cotangent
     # (and from there back through earlier steps).
-    def step_fn(flat, mats, x, y, z, vx, vy, vz):
-        params = rebuild(flat, mats)
+    def step_fn(small, mats, x, y, z, vx, vy, vz):
+        params = rebuild.assemble(small, mats)
         d = sdf_c(params, x, y, z)
         live = live_mask(d)
         out = (
@@ -287,12 +284,12 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
         return out + (d,) if track_min else out
 
     def bwd_body(j, carry):
-        gx, gy, gz, gtheta, gmats, gvx, gvy, gvz, c = carry
+        gx, gy, gz, gsmall, gmats, gvx, gvy, gvz, c = carry
         i = n_active - 1 - j
         xi = hist_ref[i, 0]
         yi = hist_ref[i, 1]
         zi = hist_ref[i, 2]
-        out, vjp = jax.vjp(step_fn, flat, mats, xi, yi, zi, dx, dy, dz)
+        out, vjp = jax.vjp(step_fn, small0, mats, xi, yi, zi, dx, dy, dz)
         if track_min:
             di = out[3]
             first = amin == i
@@ -302,9 +299,10 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
             cot = (gx, gy, gz, gd)
         else:
             cot = (gx, gy, gz)
-        dtheta, dmats, gx, gy, gz, dvx, dvy, dvz = vjp(cot)
+        dsmall, dmats, gx, gy, gz, dvx, dvy, dvz = vjp(cot)
+        gsmall = jax.tree_util.tree_map(jnp.add, gsmall, dsmall)
         gmats = jax.tree_util.tree_map(jnp.add, gmats, dmats)
-        return (gx, gy, gz, gtheta + dtheta, gmats,
+        return (gx, gy, gz, gsmall, gmats,
                 gvx + dvx, gvy + dvy, gvz + dvz, c)
 
     gvz0 = jnp.zeros_like(gx)
@@ -319,7 +317,7 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
     # (n_active ≡ steps mod EXIT_SEG), so after a rolled prologue of the
     # static remainder it unrolls by a divisor of EXIT_SEG; the in-kernel
     # recompute's per-step-granular count stays rolled.
-    bwd_init = (gx, gy, gz, gtheta, gmats, gvz0, gvz0, gvz0, c0)
+    bwd_init = (gx, gy, gz, gsmall, gmats, gvz0, gvz0, gvz0, c0)
     u = 1
     tail0 = 0
     if isinstance(n_active, int) and n_active > 0:
@@ -348,11 +346,11 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
                 carry = bwd_body(tail0 + jj * u + k, carry)
             return carry
 
-        gx, gy, gz, gtheta, gmats, gvx, gvy, gvz, _ = lax.fori_loop(
+        gx, gy, gz, gsmall, gmats, gvx, gvy, gvz, _ = lax.fori_loop(
             0, (n_active - tail0) // u, bwd_body_u, carry
         )
     else:
-        gx, gy, gz, gtheta, gmats, gvx, gvy, gvz, _ = lax.fori_loop(
+        gx, gy, gz, gsmall, gmats, gvx, gvy, gvz, _ = lax.fori_loop(
             0, n_active, bwd_body, bwd_init
         )
 
@@ -362,7 +360,7 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
     gvx_ref[:] = gvx
     gvy_ref[:] = gvy
     gvz_ref[:] = gvz
-    _store_gtheta(gtheta_ref, gtheta)
+    _store_gtheta_leaves(gtheta_ref, gsmall, rebuild.specs, x.dtype)
     for ref, gm in zip(gmat_refs, gmats):
         ref[:] = gm[None]
 
@@ -381,7 +379,8 @@ def _bwd_kernel_2l(sdf_c, rebuild, steps, normals_eps, offsets, inverse,
     n_seg = steps // k
     flat = params_ref[0, :]
     mats = tuple(r[:] for r in mat_refs)
-    params = rebuild(flat, mats)
+    small0 = rebuild.split_small(flat)
+    params = rebuild.assemble(small0, mats)
     x, y, z = px_ref[:], py_ref[:], pz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     valid = valid_ref[:] > 0.5
@@ -407,8 +406,8 @@ def _bwd_kernel_2l(sdf_c, rebuild, steps, normals_eps, offsets, inverse,
     x, y, z = lax.fori_loop(0, n_seg, fwd_seg, (x, y, z))
 
     # ---- tail cotangents (same as the full-history kernel) ----
-    def tail(flat, mats, x, y, z):
-        params = rebuild(flat, mats)
+    def tail(small, mats, x, y, z):
+        params = rebuild.assemble(small, mats)
         d_centre = jnp.where(valid, sdf_c(params, x, y, z), zero)
         nx, ny, nz, lap = _normals_block(
             sdf_c, params, x, y, z, d_centre, offsets, inverse, normals_eps
@@ -421,16 +420,16 @@ def _bwd_kernel_2l(sdf_c, rebuild, steps, normals_eps, offsets, inverse,
             jnp.where(valid, lap, zero),
         )
 
-    _, tail_vjp = jax.vjp(tail, flat, mats, x, y, z)
-    gtheta, gmats, gx, gy, gz = tail_vjp(
+    _, tail_vjp = jax.vjp(tail, small0, mats, x, y, z)
+    gsmall, gmats, gx, gy, gz = tail_vjp(
         (g_ref[3], g_ref[4], g_ref[5], g_ref[6], g_ref[7])
     )
     gx = gx + g_ref[0]
     gy = gy + g_ref[1]
     gz = gz + g_ref[2]
 
-    def step_fn(flat, mats, x, y, z, vx, vy, vz):
-        params = rebuild(flat, mats)
+    def step_fn(small, mats, x, y, z, vx, vy, vz):
+        params = rebuild.assemble(small, mats)
         d = sdf_c(params, x, y, z)
         return (
             jnp.where(valid, x + d * vx, x),
@@ -440,7 +439,7 @@ def _bwd_kernel_2l(sdf_c, rebuild, steps, normals_eps, offsets, inverse,
 
     # ---- reverse sweep: re-march each segment, then backprop through it ----
     def bwd_seg(si, carry):
-        gx, gy, gz, gtheta, gmats, gvx, gvy, gvz = carry
+        gx, gy, gz, gsmall, gmats, gvx, gvy, gvz = carry
         s = n_seg - 1 - si
         x = ckpt_ref[s, 0]
         y = ckpt_ref[s, 1]
@@ -456,24 +455,25 @@ def _bwd_kernel_2l(sdf_c, rebuild, steps, normals_eps, offsets, inverse,
         lax.fori_loop(0, k, log_seg, (x, y, z))
 
         def bwd_step(j, carry):
-            gx, gy, gz, gtheta, gmats, gvx, gvy, gvz = carry
+            gx, gy, gz, gsmall, gmats, gvx, gvy, gvz = carry
             i = k - 1 - j
             _, vjp = jax.vjp(
-                step_fn, flat, mats, seg_ref[i, 0], seg_ref[i, 1],
+                step_fn, small0, mats, seg_ref[i, 0], seg_ref[i, 1],
                 seg_ref[i, 2], dx, dy, dz,
             )
-            dtheta, dmats, gx, gy, gz, dvx, dvy, dvz = vjp((gx, gy, gz))
+            dsmall, dmats, gx, gy, gz, dvx, dvy, dvz = vjp((gx, gy, gz))
+            gsmall = jax.tree_util.tree_map(jnp.add, gsmall, dsmall)
             gmats = jax.tree_util.tree_map(jnp.add, gmats, dmats)
-            return (gx, gy, gz, gtheta + dtheta, gmats,
+            return (gx, gy, gz, gsmall, gmats,
                     gvx + dvx, gvy + dvy, gvz + dvz)
 
         return lax.fori_loop(
-            0, k, bwd_step, (gx, gy, gz, gtheta, gmats, gvx, gvy, gvz)
+            0, k, bwd_step, (gx, gy, gz, gsmall, gmats, gvx, gvy, gvz)
         )
 
     gvz0 = jnp.zeros_like(gx)
-    gx, gy, gz, gtheta, gmats, gvx, gvy, gvz = lax.fori_loop(
-        0, n_seg, bwd_seg, (gx, gy, gz, gtheta, gmats, gvz0, gvz0, gvz0)
+    gx, gy, gz, gsmall, gmats, gvx, gvy, gvz = lax.fori_loop(
+        0, n_seg, bwd_seg, (gx, gy, gz, gsmall, gmats, gvz0, gvz0, gvz0)
     )
 
     gx0_ref[:] = gx
@@ -482,7 +482,7 @@ def _bwd_kernel_2l(sdf_c, rebuild, steps, normals_eps, offsets, inverse,
     gvx_ref[:] = gvx
     gvy_ref[:] = gvy
     gvz_ref[:] = gvz
-    _store_gtheta(gtheta_ref, gtheta)
+    _store_gtheta_leaves(gtheta_ref, gsmall, rebuild.specs, x.dtype)
     for ref, gm in zip(gmat_refs, gmats):
         ref[:] = gm[None]
 
@@ -553,11 +553,18 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
         ]
     else:
         tile = min(BWD_ROWS_PER_TILE, rows)
-        if width > 128:
-            # Wide neural scenes: halve the tile so the reverse sweep's
-            # (width, tile·128) hidden-block temporaries fit scoped VMEM
-            # (mirrors pallas_march._tile_rows).
-            tile = min(tile, 64)
+        if width >= 64:
+            # Neural scenes: the reverse sweep holds ~20 live
+            # (width, tile·128) hidden-block temporaries per VJP step —
+            # measured 288 MB of 128 MB physical VMEM at width 64 /
+            # tile 128. Scale the ray tile inversely with width
+            # (width 64 → 32 rows ≈ 72 MB; width 256 → 8 rows).
+            import os
+
+            ntile = int(os.environ.get(
+                "RM_TPU_NEURAL_BWD_TILE", str(max(8, 2048 // width))
+            ))
+            tile = min(tile, max(8, ntile))
         # The forward logged its history at the forward kernel's padded row
         # count; only usable if it matches this kernel's padding.
         if use_hist and hist.shape[2] != rows + (-rows % tile):

@@ -54,9 +54,44 @@ def ravel_params_padded(params, dtype):
     return flat, unravel
 
 
+class _ParamSplit:
+    """The rebuild closure of :func:`split_params_padded` (callable with
+    the old ``rebuild(flat, mats) -> params`` contract), plus the pieces
+    the backward kernels need to handle small-leaf cotangents WITHOUT a
+    1-D concatenate (Mosaic rejects every 1-D concat whose result crosses
+    a 128-lane tile, aligned or not — probed on v5e): ``split_small`` /
+    ``assemble`` let the kernels differentiate w.r.t. the small-leaf
+    TUPLE and store each leaf's cotangent into its own (row-aligned)
+    lanes of the output block."""
+
+    def __init__(self, treedef, is_mat, specs):
+        self.treedef = treedef
+        self.is_mat = is_mat
+        #: tuple of (flat_offset, size, shape) per small leaf; offsets are
+        #: 128-lane aligned so every leaf starts a fresh output row.
+        self.specs = specs
+
+    def split_small(self, v):
+        return tuple(
+            v[off:off + size].reshape(shape) for off, size, shape in self.specs
+        )
+
+    def assemble(self, small, mats):
+        import jax
+
+        out, im, isml = [], iter(mats), iter(small)
+        for m in self.is_mat:
+            out.append(next(im) if m else next(isml))
+        return jax.tree_util.tree_unflatten(self.treedef, out)
+
+    def __call__(self, v, mats):
+        return self.assemble(self.split_small(v), mats)
+
+
 def split_params_padded(params, dtype):
     """Partition a params pytree for kernel entry: matrix leaves ride as
-    native 2-D+ VMEM inputs, everything else through one flat lane vector.
+    native 2-D+ VMEM inputs, everything else through one flat lane vector
+    with each leaf in its own 128-lane-aligned segment.
 
     Mosaic cannot rebuild a matrix from a flat row — every reshape
     ``(1, n) → (a, b)`` with b ≠ 128k, every sublane concat of
@@ -64,14 +99,17 @@ def split_params_padded(params, dtype):
     "unsupported shape cast" / "offset mismatch" (probed exhaustively on
     v5e). Passing ndim≥2 leaves as their own kernel inputs gives them a
     native VMEM layout — which the MXU matmuls of
-    :func:`scene.neural.neural_sdf_matmul` want anyway.
+    :func:`scene.neural.neural_sdf_matmul` want anyway. The 128-lane
+    alignment of the small-leaf segments keeps every leaf on whole output
+    rows for the backward kernels' per-leaf cotangent stores.
 
     Returns:
-        (flat, mats, rebuild): ``flat`` is the 1-D concatenation of the
-        scalar/vector leaves (padded to length >= 1); ``mats`` is a tuple
-        of the ndim >= 2 leaves (cast to ``dtype``, pytree order);
-        ``rebuild(flat_1d, mats) -> params`` reassembles the pytree and is
-        pure jnp (valid inside kernels, under jit, and under jax.vjp).
+        (flat, mats, rebuild): ``flat`` is the 1-D aligned-segment layout
+        of the scalar/vector leaves (length >= 1); ``mats`` is a tuple of
+        the ndim >= 2 leaves (cast to ``dtype``, pytree order);
+        ``rebuild(flat_1d, mats) -> params`` (a :class:`_ParamSplit`)
+        reassembles the pytree and is pure jnp (valid inside kernels,
+        under jit, and under jax.vjp).
     """
     import jax
 
@@ -81,20 +119,20 @@ def split_params_padded(params, dtype):
         jnp.asarray(leaf, dtype) for leaf, m in zip(leaves, is_mat) if m
     )
     small = [leaf for leaf, m in zip(leaves, is_mat) if not m]
-    flat, unravel_small = ravel_pytree(small)
-    flat = flat.astype(dtype)
-    padded = flat.size == 0  # Mosaic block specs need width >= 1
-    if padded:
-        flat = jnp.zeros((1,), dtype)
-
-    def rebuild(v, mats):
-        small_leaves = unravel_small(v[:0] if padded else v)
-        out, im, isl = [], iter(mats), iter(small_leaves)
-        for m in is_mat:
-            out.append(next(im) if m else next(isl))
-        return jax.tree_util.tree_unflatten(treedef, out)
-
-    return flat, mats, rebuild
+    specs = []
+    segs = []
+    off = 0
+    for leaf in small:
+        a = jnp.asarray(leaf, dtype).reshape(-1)
+        size = a.shape[0]
+        seg = max(1, -(-size // LANES)) * LANES
+        specs.append((off, size, jnp.shape(leaf)))
+        segs.append(jnp.pad(a, (0, seg - size)))
+        off += seg
+    flat = (
+        jnp.concatenate(segs) if segs else jnp.zeros((LANES,), dtype)
+    )
+    return flat, mats, _ParamSplit(treedef, is_mat, tuple(specs))
 
 
 def mat_in_specs(mats):
