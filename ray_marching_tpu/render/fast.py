@@ -36,6 +36,12 @@ from ray_marching_tpu.ops.pallas_render import (
     fused_march_normals_cov_ift,
     fused_march_normals_ift,
 )
+from ray_marching_tpu.ops.xla_render import (
+    xla_march_normals,
+    xla_march_normals_cov,
+    xla_march_normals_cov_ift,
+    xla_march_normals_ift,
+)
 from ray_marching_tpu.render import lighting, shaders
 from ray_marching_tpu.render.pipeline import RenderConfig
 from ray_marching_tpu.scene.graph import Node, compile_scene
@@ -43,6 +49,24 @@ from ray_marching_tpu.utils import clamp, prmax, prmin, rmax, rmin
 
 LANES = 128
 ROWS_PER_TILE = 256
+
+
+def scene_is_matmul_dominated(node) -> bool:
+    """True when the scene contains a NeuralSDF that resolves to the
+    matmul evaluator — the workload where XLA's native MXU tiling beats
+    the Mosaic mega-kernel (whose per-eval plane↔lane-vector relayouts
+    are pure overhead for matmul chains; measured in
+    tools/neural_rowmajor_probe.py and docs/PERFORMANCE.md)."""
+    from ray_marching_tpu.scene.neural import NeuralSDF, resolve_impl
+
+    if isinstance(node, NeuralSDF) and resolve_impl(node) == "matmul":
+        return True
+    child = getattr(node, "child", None)
+    if child is not None and scene_is_matmul_dominated(child):
+        return True
+    return any(
+        scene_is_matmul_dominated(c) for c in getattr(node, "children", ())
+    )
 
 
 def _to_planes(flat: np.ndarray, rows: int) -> np.ndarray:
@@ -82,10 +106,23 @@ class FastRenderer:
 
     def __init__(self, scene: Node, config: RenderConfig, dtype=jnp.float32,
                  grid_dtype=np.float32, interpret: Optional[bool] = None,
-                 row_multiple: Optional[int] = None):
+                 row_multiple: Optional[int] = None,
+                 march_impl: str = "auto"):
         if interpret is None:
             # Mosaic kernels only compile for TPU; interpret elsewhere.
             interpret = jax.default_backend() == "cpu"
+        if march_impl not in ("auto", "fused", "xla"):
+            raise ValueError(f"march_impl must be auto|fused|xla, "
+                             f"got {march_impl!r}")
+        if march_impl == "auto":
+            # Wide-MLP (matmul) scenes run the march under XLA — native
+            # MXU tiling, no Mosaic relayouts, remat backward; everything
+            # else keeps the fused Pallas mega-kernel (ops/xla_render.py
+            # docstring has the measured crossover).
+            march_impl = (
+                "xla" if scene_is_matmul_dominated(scene) else "fused"
+            )
+        self.march_impl = march_impl
         self.config = config
         self.dtype = dtype
         self.interpret = interpret
@@ -347,25 +384,33 @@ class FastRenderer:
         cfg = self.config
         valid = self._valid if valid is None else valid
         flat_params, mats, rebuild = split_params_padded(params, self.dtype)
+        if self.march_impl == "xla":
+            # Matmul-dominated scenes: XLA-native march (same plane
+            # contract, MXU-tiled by XLA, remat backward; ops/xla_render).
+            plain, cov = xla_march_normals, xla_march_normals_cov
+            ift, cov_ift = xla_march_normals_ift, xla_march_normals_cov_ift
+        else:
+            plain, cov = fused_march_normals, fused_march_normals_cov
+            ift, cov_ift = fused_march_normals_ift, fused_march_normals_cov_ift
         if with_closest and cfg.backward == "implicit":
             # IFT endpoint + argmin-frozen min_f (O(1) backward, same
             # approximation as the modular march_with_closest_implicit).
             def march(*args):
-                return fused_march_normals_cov_ift(
+                return cov_ift(
                     *args, cfg.ift_hit_threshold, cfg.ift_denom_eps
                 )
         elif with_closest:
             # Exact coverage semantics (modular render_with_alpha parity):
             # autodiff of the minimum chain via the fused backward kernel.
-            march = fused_march_normals_cov
+            march = cov
         elif cfg.backward == "implicit":
             # custom_vjp takes positional args only.
             def march(*args):
-                return fused_march_normals_ift(
+                return ift(
                     *args, cfg.ift_hit_threshold, cfg.ift_denom_eps
                 )
         else:
-            march = fused_march_normals
+            march = plain
 
         def run(origin, dirs):
             rays7 = jnp.stack(list(origin) + list(dirs) + [valid], axis=0)

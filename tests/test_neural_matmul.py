@@ -183,8 +183,10 @@ def test_fast_kernel_matmul_matches_componentwise_render(width):
     imgs = {}
     for impl in ("componentwise", "matmul"):
         node = NeuralSDF(hidden=(width, width), seed=3, impl=impl)
+        # march_impl='fused': this test pins the Mosaic KERNEL's matmul
+        # lowering (auto would route matmul scenes to the XLA march).
         f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
-                         interpret=True)
+                         interpret=True, march_impl="fused")
         imgs[impl] = np.asarray(f.jitted(mode=0, degree=1)(f.init_params, q, t))
     a, b = imgs["componentwise"], imgs["matmul"]
     m = np.isfinite(a) & np.isfinite(b)

@@ -56,13 +56,26 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--cases", nargs="*", default=None,
                     help="width:impl pairs, e.g. 64:matmul")
+    ap.add_argument("--renderer", default="fast",
+                    choices=["fast", "modular"],
+                    help="fast = fused Pallas mega-kernel; modular = the "
+                         "XLA-scan pipeline (wide-MLP scenes are matmul "
+                         "chains XLA fuses natively — see the row-major "
+                         "probe, tools/neural_rowmajor_probe.py)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialized backward (modular only; wide "
+                         "MLPs cannot store per-step activations)")
+    ap.add_argument("--march-impl", default="auto",
+                    choices=["auto", "fused", "xla"],
+                    help="fast renderer march implementation (auto routes "
+                         "matmul scenes to xla)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from ray_marching_tpu.render.fast import FastRenderer
-    from ray_marching_tpu.render.pipeline import RenderConfig
+    from ray_marching_tpu.render.pipeline import RenderConfig, Renderer
     from ray_marching_tpu.scene.neural import NeuralSDF
 
     cases = (
@@ -74,7 +87,7 @@ def main():
     cfg = RenderConfig(
         px_width=w, px_height=h, focal_length=px * h,
         sensor_width=px * w, sensor_height=px * h,
-        marching_steps=args.steps,
+        marching_steps=args.steps, remat=args.remat,
     )
     q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float32)
     t = jnp.asarray([[0.0, 0.2, 2.0]], jnp.float32)
@@ -87,9 +100,12 @@ def main():
         else:
             kw = {"impl": impl}
         node = NeuralSDF(hidden=(width, width), seed=3, **kw)
-        r = FastRenderer(node, cfg)
+        r = (FastRenderer(node, cfg, march_impl=args.march_impl)
+             if args.renderer == "fast" else Renderer(node, cfg))
         row = {"width": width, "impl": impl, "px": args.px,
-               "steps": args.steps}
+               "steps": args.steps, "renderer": args.renderer,
+               "remat": args.remat,
+               "march_impl": getattr(r, "march_impl", None)}
         try:
             fwd = r.jitted(mode=0, degree=1)
             t0 = time.time()
