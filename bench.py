@@ -18,6 +18,16 @@ Prints ONE JSON line:
 
 vs_baseline >= 1.0 means the BASELINE.md target (>=10x CPU rays/s per chip)
 is met; the value itself is the headline rays/s on one chip.
+
+Un-losable by construction (a round-3 driver run was lost to tunnel
+slowness): the persistent compilation cache is enabled before anything
+compiles (repeat runs skip the 30-70 s tunnel compiles entirely); every
+stage streams progress to stderr so a timeout leaves a diagnosable tail;
+the CPU leg runs concurrently in a subprocess; a provisional reduced-
+iteration TPU number is recorded before the full timing run; and a
+watchdog thread prints the best-available JSON line and exits 0 if
+BENCH_DEADLINE seconds (default 600) pass — so even a hung tunnel
+yields a parsed, degraded result instead of nothing.
 """
 
 from __future__ import annotations
@@ -26,10 +36,60 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 BENCH_STEPS = 32
 WARMUP_ITERS = 2
+DEADLINE = float(os.environ.get("BENCH_DEADLINE", "600"))
+
+_T0 = time.perf_counter()
+# Best-so-far result, readable by the watchdog thread at any moment.
+_STATE: dict = {"value": None, "cpu_rays": None, "stage": "start"}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def progress(msg: str) -> None:
+    _STATE["stage"] = msg
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def emit(degraded: bool = False) -> None:
+    """Print THE one JSON line (at most once, even under the watchdog)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    value = _STATE["value"]
+    cpu = _STATE["cpu_rays"]
+    vs = round(value / (10.0 * cpu), 3) if (value and cpu) else None
+    out = {
+        "metric": "rays_per_sec_fwd_bwd_1080p",
+        "value": round(value) if value else None,
+        "unit": "rays/s/chip",
+        "vs_baseline": vs,
+    }
+    if degraded:
+        out["degraded"] = f"deadline {DEADLINE}s hit at stage: {_STATE['stage']}"
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog() -> None:
+    """Emit the best-available result and hard-exit if the deadline passes.
+
+    A thread (not SIGALRM) so it fires even while the main thread is stuck
+    inside a blocking XLA compile / tunnel RPC.
+    """
+    remaining = DEADLINE - (time.perf_counter() - _T0)
+    while remaining > 0:
+        time.sleep(min(remaining, 5.0))
+        remaining = DEADLINE - (time.perf_counter() - _T0)
+    progress(f"DEADLINE ({DEADLINE}s) reached — emitting degraded result")
+    emit(degraded=True)
+    os._exit(0)
 
 
 def build_step(width, height, dtype_name="float32", use_pallas=False):
@@ -110,43 +170,74 @@ print(json.dumps({'cpu_rays_per_sec': bench.measure(480, 270, iters=3)}))
 """
 
 
-def cpu_baseline() -> float:
-    out = subprocess.run(
+def start_cpu_baseline() -> subprocess.Popen:
+    """Launch the CPU leg concurrently; collected at the end."""
+    return subprocess.Popen(
         [sys.executable, "-c", _CPU_CHILD],
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
         text=True,
-        timeout=900,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    line = out.stdout.strip().splitlines()[-1]
+
+
+def collect_cpu_baseline(proc: subprocess.Popen, budget: float) -> float:
+    out, _ = proc.communicate(timeout=max(budget, 30.0))
+    line = out.strip().splitlines()[-1]
     return float(json.loads(line)["cpu_rays_per_sec"])
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    # Persistent compile cache BEFORE anything compiles: repeat runs (and
+    # the driver's end-of-round run) skip the 30-70 s tunnel compiles.
+    from ray_marching_tpu import runtime
+
+    cache_dir = runtime.enable_persistent_cache()
+    progress(f"compile cache at {cache_dir}")
+
+    cpu_proc = start_cpu_baseline()
+    progress("CPU leg started (concurrent subprocess)")
+
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     import jax
 
     on_accel = jax.default_backend() != "cpu"
-    # Enough iterations that dispatch pipelines and the steady state
-    # dominates (the remote tunnel needs ~100 to amortize its latency).
-    iters = 100 if on_accel else 3
-    rays_per_sec = measure(1920, 1080, iters=iters, use_pallas=use_pallas)
-    try:
-        cpu_rays = cpu_baseline()
-        vs_baseline = round(rays_per_sec / (10.0 * cpu_rays), 3)
-    except Exception as exc:  # CPU leg must never sink the benchmark
-        print(f"cpu baseline failed: {exc}", file=sys.stderr)
-        vs_baseline = None  # json NaN is not valid JSON; null is
-    print(
-        json.dumps(
-            {
-                "metric": "rays_per_sec_fwd_bwd_1080p",
-                "value": round(rays_per_sec),
-                "unit": "rays/s/chip",
-                "vs_baseline": vs_baseline,
-            }
-        )
+    progress(f"jax imported; backend={jax.default_backend()}")
+
+    width, height = 1920, 1080
+    r, step = build_step(width, height, use_pallas=use_pallas)
+    progress("step built; compiling + warming up")
+
+    # Warmup (includes compile) then a short pilot: a provisional number
+    # exists from here on, so a watchdog fire mid-run still yields a result.
+    pilot_iters = 10 if on_accel else 1
+    dt = time_step(step, r.init_params, pilot_iters)
+    _STATE["value"] = (width * height) / dt
+    progress(
+        f"compiled + pilot ({pilot_iters} iters): "
+        f"{_STATE['value'] / 1e6:.1f}M rays/s provisional"
     )
+
+    # Full timing run: enough iterations that dispatch pipelines and the
+    # steady state dominates (the remote tunnel needs ~100 to amortize).
+    iters = 100 if on_accel else 3
+    dt = time_step(step, r.init_params, iters)
+    _STATE["value"] = (width * height) / dt
+    progress(f"{iters} iters timed: {_STATE['value'] / 1e6:.1f}M rays/s")
+
+    try:
+        budget = DEADLINE - (time.perf_counter() - _T0) - 15.0
+        _STATE["cpu_rays"] = collect_cpu_baseline(cpu_proc, budget)
+        progress(f"CPU leg done: {_STATE['cpu_rays'] / 1e3:.1f}K rays/s")
+    except Exception as exc:  # CPU leg must never sink the benchmark
+        progress(f"cpu baseline failed: {exc}")
+        try:
+            cpu_proc.kill()
+        except Exception:
+            pass
+    emit()
 
 
 if __name__ == "__main__":

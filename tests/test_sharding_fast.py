@@ -340,6 +340,64 @@ def test_sharded_fast_tau_early_exit_matches_single_device():
     assert moved
 
 
+def test_sharded_xla_march_matches_single_device():
+    """march_impl='xla' under shard_map (VERDICT r3 #3): the XLA-native
+    march used for matmul-dominated (NeuralSDF) scenes must produce the
+    same pixels AND the same psum'd parameter/pose gradients sharded as
+    the single-device fast path. The fused-Pallas neural path keeps its
+    own sharded coverage in dryrun_multichip leg 3 (march_impl='fused')."""
+    from ray_marching_tpu.scene.neural import NeuralSDF
+
+    cfg = RenderConfig(
+        px_width=96, px_height=64,
+        focal_length=PX * 64, sensor_width=PX * 96, sensor_height=PX * 64,
+        marching_steps=8,
+    )
+    node = NeuralSDF(hidden=(16, 16), seed=3, impl="matmul")
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True, row_multiple=64)
+    assert f.march_impl == "xla"  # auto-dispatch routes matmul scenes here
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float64)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float64)
+    mesh = make_mesh((8,), ("rays",))
+
+    for mode in (0, 4):
+        a = np.asarray(f.render(f.init_params, q, t, mode=mode, degree=1))
+        b = np.asarray(
+            fs.fast_shard_render(f, mesh, mode=mode, degree=1)(
+                f.init_params, q, t
+            )
+        )
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-11,
+                                   equal_nan=True, err_msg=f"mode {mode}")
+
+    rng = np.random.default_rng(7)
+    w_img = jnp.asarray(rng.standard_normal((1, 64, 96, 3)))
+    wp = f.image_to_planes(w_img)
+    chan = fs.make_channel_fn(f, mesh, mode=0, degree=1)
+
+    def loss_sh(p, q, t):
+        return jnp.sum(jnp.nan_to_num(chan(p, q, t) * wp, nan=0.0))
+
+    def loss_sd(p, q, t):
+        img = f.render(p, q, t, mode=0, degree=1)
+        return jnp.sum(jnp.nan_to_num(img * w_img, nan=0.0))
+
+    g0 = jax.grad(loss_sd, argnums=(0, 1, 2))(f.init_params, q, t)
+    g1 = jax.jit(jax.grad(loss_sh, argnums=(0, 1, 2)))(f.init_params, q, t)
+    p0, p1 = param_paths(g0[0]), param_paths(g1[0])
+    assert set(p0) == set(p1)
+    for k in p0:
+        np.testing.assert_allclose(
+            np.asarray(p0[k]), np.asarray(p1[k]), rtol=1e-9, atol=1e-12,
+            err_msg=k,
+        )
+    for a, b in zip(g0[1:], g1[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+
+
 # -- sharded × tiled composition ---------------------------------------------
 
 
