@@ -407,8 +407,15 @@ def fused_march_normals_cov(sdf_c, rebuild, flat_params, mats, rays7, steps,
 
 
 def _reference_fn(sdf_c, rebuild, steps, tau, normals_eps, flat_params, mats,
-                  rays7, track_min=False):
-    """Plane-native jnp recompute of the kernel (for the backward pass)."""
+                  rays7, track_min=False, track_argpos=False):
+    """Plane-native jnp recompute of the kernel (for the backward pass).
+
+    ``track_argpos`` (requires ``track_min``) additionally returns the
+    (3, rows, 128) position of the along-ray minimum — the same
+    strict-inequality first-min convention as ``_march_tile`` — so the
+    XLA cov-IFT forward shares this step function instead of keeping a
+    third copy of the march semantics. Returns ``(out, argpos)`` then."""
+    assert track_min or not track_argpos
     params = rebuild(flat_params, mats)
     px, py, pz, dx, dy, dz = (rays7[i] for i in range(6))
     valid = rays7[6] > 0.5
@@ -426,12 +433,26 @@ def _reference_fn(sdf_c, rebuild, steps, tau, normals_eps, flat_params, mats,
             jnp.where(live, y + d * dy, y),
             jnp.where(live, z + d * dz, z),
         )
-        if track_min:
+        if track_argpos:
+            minf, xm, ym, zm = carry[3:7]
+            take = d < minf  # strict: first minimum wins (= _march_tile)
+            out = out + (
+                jnp.where(take, d, minf),
+                jnp.where(take, x, xm),
+                jnp.where(take, y, ym),
+                jnp.where(take, z, zm),
+            )
+        elif track_min:
             out = out + (jnp.minimum(carry[3], d),)
         return out, None
 
     big = jnp.full_like(px, jnp.finfo(px.dtype).max)
-    init = (px, py, pz, big) if track_min else (px, py, pz)
+    if track_argpos:
+        init = (px, py, pz, big, px, py, pz)
+    elif track_min:
+        init = (px, py, pz, big)
+    else:
+        init = (px, py, pz)
     carry, _ = lax.scan(jax.checkpoint(step), init, None, length=steps)
     x, y, z = carry[:3]
     minf = carry[3] if track_min else big
@@ -447,7 +468,10 @@ def _reference_fn(sdf_c, rebuild, steps, tau, normals_eps, flat_params, mats,
     planes = [x, y, z, d_centre, nx, ny, nz, lap]
     if track_min:
         planes.append(jnp.where(valid, minf, big))
-    return jnp.stack(planes, axis=0)
+    out = jnp.stack(planes, axis=0)
+    if track_argpos:
+        return out, jnp.stack(carry[4:7], axis=0)
+    return out
 
 
 def _hist_enabled(rays7, steps, tau, track_min=False, mats=()):

@@ -39,14 +39,11 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
-from jax import lax
 
 from ray_marching_tpu.ops.pallas_render import (
     _cov_ift_bwd,
     _ift_bwd,
     _reference_fn,
-    _tail_planes,
 )
 
 
@@ -116,40 +113,13 @@ def xla_march_normals_cov_ift(sdf_c, rebuild, flat_params, mats, rays7,
 
 def _xla_cov_ift_fwd(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
                      normals_eps, interpret, hit_threshold, denom_eps):
-    params = rebuild(flat_params, mats)
-    px, py, pz, dx, dy, dz = (rays7[i] for i in range(6))
-    valid = rays7[6] > 0.5
-
-    def step(carry, _):
-        x, y, z, minf, xm, ym, zm = carry
-        d = sdf_c(params, x, y, z)
-        take = d < minf
-        xm = jnp.where(take, x, xm)
-        ym = jnp.where(take, y, ym)
-        zm = jnp.where(take, z, zm)
-        minf = jnp.where(take, d, minf)
-        if tau != 0.0:
-            live = jnp.logical_and(jnp.abs(d) >= tau, valid)
-        else:
-            live = valid
-        return (
-            jnp.where(live, x + d * dx, x),
-            jnp.where(live, y + d * dy, y),
-            jnp.where(live, z + d * dz, z),
-            minf, xm, ym, zm,
-        ), None
-
-    big = jnp.full_like(px, jnp.finfo(px.dtype).max)
-    (x, y, z, minf, xm, ym, zm), _ = lax.scan(
-        step, (px, py, pz, big, px, py, pz), None, length=steps
+    # The tracked march is _reference_fn's own step function (track_argpos)
+    # — the ONE copy of the step semantics the kernel tests pin; this
+    # forward cannot drift from it.
+    out, argpos = _reference_fn(
+        sdf_c, rebuild, steps, tau, normals_eps, flat_params, mats, rays7,
+        track_min=True, track_argpos=True,
     )
-    d, nx, ny, nz, lap = _tail_planes(
-        sdf_c, rebuild, normals_eps, valid, flat_params, mats, x, y, z
-    )
-    out = jnp.stack(
-        [x, y, z, d, nx, ny, nz, lap, jnp.where(valid, minf, big)], axis=0
-    )
-    argpos = jnp.stack([xm, ym, zm], axis=0)
     return out, (flat_params, mats, rays7, out, argpos)
 
 

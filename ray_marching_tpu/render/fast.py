@@ -51,21 +51,26 @@ LANES = 128
 ROWS_PER_TILE = 256
 
 
-def scene_is_matmul_dominated(node) -> bool:
-    """True when the scene contains a NeuralSDF that resolves to the
+def scene_contains_matmul_neural(node) -> bool:
+    """True when the scene CONTAINS a NeuralSDF that resolves to the
     matmul evaluator — the workload where XLA's native MXU tiling beats
     the Mosaic mega-kernel (whose per-eval plane↔lane-vector relayouts
-    are pure overhead for matmul chains; measured in
-    tools/neural_rowmajor_probe.py and docs/PERFORMANCE.md)."""
+    are pure overhead for matmul chains; measured crossover in
+    docs/PERFORMANCE.md "XLA vs fused march").
+
+    Containment, not dominance: one matmul NeuralSDF anywhere in the tree
+    routes the whole march to XLA under ``march_impl='auto'``. A mixed
+    scene dominated by analytic SDFs may prefer ``march_impl='fused'`` —
+    pass it explicitly; a cost-based heuristic is future work."""
     from ray_marching_tpu.scene.neural import NeuralSDF, resolve_impl
 
     if isinstance(node, NeuralSDF) and resolve_impl(node) == "matmul":
         return True
     child = getattr(node, "child", None)
-    if child is not None and scene_is_matmul_dominated(child):
+    if child is not None and scene_contains_matmul_neural(child):
         return True
     return any(
-        scene_is_matmul_dominated(c) for c in getattr(node, "children", ())
+        scene_contains_matmul_neural(c) for c in getattr(node, "children", ())
     )
 
 
@@ -120,7 +125,7 @@ class FastRenderer:
             # else keeps the fused Pallas mega-kernel (ops/xla_render.py
             # docstring has the measured crossover).
             march_impl = (
-                "xla" if scene_is_matmul_dominated(scene) else "fused"
+                "xla" if scene_contains_matmul_neural(scene) else "fused"
             )
         self.march_impl = march_impl
         self.config = config

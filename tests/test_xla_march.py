@@ -11,7 +11,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from ray_marching_tpu.render.fast import FastRenderer, scene_is_matmul_dominated
+from ray_marching_tpu.render.fast import (
+    FastRenderer,
+    scene_contains_matmul_neural,
+)
 from ray_marching_tpu.render.pipeline import RenderConfig
 from ray_marching_tpu.scene.graph import Affine, Sphere, Union
 from ray_marching_tpu.scene.neural import NeuralSDF
@@ -51,7 +54,7 @@ def test_auto_dispatch():
     # nested neural nodes are found through combinators and transforms
     nested = Union((Sphere(0.5),
                     Affine(_neural_scene(), (1, 0, 0, 0), (0, 0, 0))))
-    assert scene_is_matmul_dominated(nested)
+    assert scene_contains_matmul_neural(nested)
     assert FastRenderer(nested, cfg).march_impl == "xla"
     with pytest.raises(ValueError):
         FastRenderer(Sphere(0.5), cfg, march_impl="triton")

@@ -125,7 +125,11 @@ def main():
                 [p] + [p + offs[:, i:i + 1] for i in range(4)],
                 axis=1)  # (3, 5N)
             d_all = mlp_rowmajor(params, po)
-            return d_all[:n] + d_all[n:2 * n]
+            # Depend on ALL five segments: XLA's slice-through-dot
+            # simplification would otherwise narrow the epilogue matmul
+            # chain to the used columns and undercount the epilogue work
+            # this probe is meant to bound.
+            return d_all[:n] + d_all[n:].reshape(4, n).sum(0)
 
         evaluate = neural_sdf_matmul(node)
 
