@@ -281,7 +281,13 @@ def _call_render_kernel(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
     )
 
     rows = rays7.shape[1]
-    rows_per_tile = _tile_rows(rows, matmul_width(mats))
+    # default=DEFAULT_ROWS_PER_TILE (128, this module's measured winner) —
+    # NOT pallas_march's 256: besides being slower for this kernel, a
+    # 256-row forward tile pads the history buffer differently from the
+    # 128-row backward tile at most resolutions, silently disabling the
+    # march-history handoff (fused_backward checks hist.shape[2]).
+    rows_per_tile = _tile_rows(rows, matmul_width(mats),
+                               default=DEFAULT_ROWS_PER_TILE)
     # Rows may not divide the tile (e.g. multi-camera stacks of 8-row-padded
     # blocks): pad by edge-replicating real rays (zero padding would park
     # the pad rays exactly at the world origin — a gradient singularity for
@@ -502,7 +508,8 @@ def _hist_enabled(rays7, steps, tau, track_min=False, mats=()):
     cap = int(os.environ.get("RM_TPU_BWD_HIST_MAX", str(2**32)))
     from ray_marching_tpu.ops.pallas_march import _tile_rows, matmul_width
 
-    rows_per_tile = _tile_rows(rays7.shape[1], matmul_width(mats))
+    rows_per_tile = _tile_rows(rays7.shape[1], matmul_width(mats),
+                               default=DEFAULT_ROWS_PER_TILE)
     rows_padded = rays7.shape[1] + (-rays7.shape[1] % rows_per_tile)
     bytes_ = (steps + 1) * 3 * rows_padded * LANES * rays7.dtype.itemsize
     return bytes_ <= cap

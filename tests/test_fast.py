@@ -552,6 +552,35 @@ def test_hist_handoff_coverage_backward_bitwise(monkeypatch):
         )
 
 
+def test_history_handoff_engages_at_non_tile_multiple_rows():
+    """Round-4 regression pin: the forward mega-kernel and the backward
+    kernel must agree on the 128-row tile so the history buffer's padded
+    row count matches and the march-history handoff stays ON. A round-3
+    refactor silently switched the forward to pallas_march's 256-row
+    default; at any row count not divisible by 256 (e.g. 1080p's 16200)
+    the padded shapes then differ and fused_backward dropped to its
+    in-kernel recompute — a 5% throughput regression that no test
+    caught."""
+    from ray_marching_tpu.ops import pallas_backward as pb
+
+    w, h = 512, 82  # 328 plane rows: % 128 == 72, % 256 == 72, pads differ
+    cfg = RenderConfig(
+        px_width=w, px_height=h,
+        focal_length=PX * h, sensor_width=PX * w, sensor_height=PX * h,
+        marching_steps=8,
+    )
+    f = FastRenderer(registry.make_scene("test_scene2"), cfg,
+                     dtype=jnp.float32, interpret=True)
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float32)
+    t = jnp.asarray([[0.0, 0.2, 2.0]], jnp.float32)
+
+    def loss(params):
+        return jnp.sum(f.render(params, q, t, mode=0, degree=2))
+
+    jax.grad(loss)(f.init_params)
+    assert pb.LAST_PATH["use_hist"] is True
+
+
 def test_tau_handoff_disabled_when_bwd_tile_spans_fwd_tiles(monkeypatch):
     """The tau>0 exit-step plane is constant per FORWARD (128-row) tile and
     history planes past a tile's exit step are unwritten, so a backward

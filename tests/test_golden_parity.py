@@ -19,6 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# BASELINE-scale f64 renders + gradient pins: the slow tier. Run the full
+# suite (default) when touching math/shaders/marcher; iterate with
+# `-m "not slow"`.
+pytestmark = pytest.mark.slow
+
 from ray_marching_tpu.render.pipeline import Renderer, RenderConfig
 from ray_marching_tpu.scene import registry
 from ray_marching_tpu.scene.graph import param_paths
