@@ -74,6 +74,7 @@ def test_image_parity(w, h, steps, tau, cameras, bounces, mode):
     "w,h,steps,tau,cameras,bounces,mode",
     [CASES[1], CASES[2], CASES[4]],
 )
+@pytest.mark.slow
 def test_gradient_parity(w, h, steps, tau, cameras, bounces, mode):
     """Scene-parameter gradients through the fused backward across the
     same seams (padding, multi-camera tiles, tau masks). Mode 0 is used

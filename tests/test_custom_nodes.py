@@ -260,6 +260,7 @@ def test_mandelbulb_scale_gradient():
     assert g == pytest.approx(fd, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_mandelbulb_scene_parity_fast_vs_modular():
     """Fast (interpret Pallas kernel) vs modular pixels on the registry
     scene. The fractal boundary is chaotic — grazing rays legitimately
@@ -277,6 +278,7 @@ def test_mandelbulb_scene_parity_fast_vs_modular():
     assert close.mean() > 0.98
 
 
+@pytest.mark.slow
 def test_mandelbulb_render_gradient_finite():
     scene = registry.make_scene("mandelbulb")
     q, t = POSE
@@ -290,6 +292,7 @@ def test_mandelbulb_render_gradient_finite():
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+@pytest.mark.slow
 def test_mandelbulb_scale_trains_by_inverse_rendering():
     """The custom leaf's parameter actually optimizes through the renderer:
     recover the bulb's scale from a target image. The fractal loss surface

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from ray_marching_tpu.io.export import export_train_step, load_train_step
 from ray_marching_tpu.parallel import fast_sharding as fs
@@ -33,6 +34,7 @@ def _fast(n_devices):
                         row_multiple=8 * n_devices)
 
 
+@pytest.mark.slow
 def test_export_train_step_roundtrip(tmp_path):
     n = 2
     fast = _fast(n)

@@ -195,6 +195,7 @@ def test_implicit_backward_matches_modular_implicit():
         )
 
 
+@pytest.mark.slow
 def test_multi_camera_rows_cross_tile_boundary():
     """Six cameras × 24 rows = 144 stacked rows — NOT a multiple of the
     fused kernels' 128-row (fwd) / 64-row (bwd) tiles. Round 1 truncated
@@ -244,6 +245,7 @@ def test_multi_camera_rows_cross_tile_boundary():
     assert any(np.abs(np.asarray(v)).max() > 0 for v in flat.values())
 
 
+@pytest.mark.slow
 def test_neural_scene_fast_gradients():
     """Neural scenes have >128 flat parameters: the fused backward's
     per-tile parameter cotangent must spill across multiple 128-lane rows
@@ -321,6 +323,7 @@ def test_render_with_alpha_matches_modular():
                                rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_alpha_gradients_match_modular():
     """Silhouette gradients through the fused backward kernel: the min_f
     cotangent is routed to the arg-min march step in-kernel and must match
@@ -365,6 +368,7 @@ def test_alpha_pose_gradients_match_modular():
                                    rtol=1e-7, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_alpha_tau_matches_modular():
     """Coverage gradients at tau > 0 (fused backward with the freeze mask
     + tie-splitting over the frozen steps' repeated min_f evaluations)
@@ -421,6 +425,7 @@ def test_fourier_cmap_parity_fast_vs_modular():
         assert np.abs((exact - b)[mask]).max() < 2e-2
 
 
+@pytest.mark.slow
 def test_multi_camera_matches_modular():
     """Two-camera batch: cameras stack along plane rows; global shader
     normalizations span the whole batch (reference semantics). Spin/tangent
@@ -453,6 +458,7 @@ def test_multi_camera_matches_modular():
 
 
 @pytest.mark.parametrize("steps,w,h", [(12, 96, 64), (66, 192, 96)])
+@pytest.mark.slow
 def test_hist_handoff_backward_bitwise(monkeypatch, steps, w, h):
     """The forward mega-kernel's logged march history lets the fused
     backward skip its in-kernel forward recompute; the trajectories are the
@@ -488,6 +494,7 @@ def test_hist_handoff_backward_bitwise(monkeypatch, steps, w, h):
 
 
 @pytest.mark.parametrize("steps,w,h", [(19, 96, 64), (16, 192, 96)])
+@pytest.mark.slow
 def test_hist_handoff_tau_backward_bitwise(monkeypatch, steps, w, h):
     """tau > 0 history handoff: the early-exit forward logs its march
     history up to the per-tile exit step (dynamic-index stores) and hands

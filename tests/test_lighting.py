@@ -103,6 +103,7 @@ def test_extra_mode_fast_matches_modular(mode):
     np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_shaded_gradients_finite_and_match():
     r, f, q, t = make_pair(steps=12)
     rng = np.random.default_rng(3)

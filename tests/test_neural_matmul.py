@@ -75,6 +75,7 @@ def test_matmul_matches_numpy_oracle(width):
 
 
 @pytest.mark.parametrize("width", [16, 32])
+@pytest.mark.slow
 def test_matmul_matches_componentwise_gradients(width):
     """Width caps at 32: the componentwise WIDTH-64 backward graph takes
     >9 min of XLA CPU compile (measured; the matmul one takes 0.18 s) —
@@ -172,6 +173,7 @@ def _render_cfg(w=64, h=48, steps=8):
 
 
 @pytest.mark.parametrize("width", [32])
+@pytest.mark.slow
 def test_fast_kernel_matmul_matches_componentwise_render(width):
     """The fused mega-kernel (interpret on CPU) renders the matmul impl;
     pixels match the componentwise impl to fp-reassociation tolerance.

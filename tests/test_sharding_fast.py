@@ -170,6 +170,7 @@ def test_sharded_render_with_alpha_matches_single_device(setup):
                                rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_silhouette_train_step_descends(setup):
     """The silhouette-aware sharded train step reproduces optimize()'s
     composite+mask objective and descends on the fused path."""
@@ -222,6 +223,7 @@ def test_sharded_silhouette_train_step_descends(setup):
     assert losses[-1] < losses[0] * 0.75
 
 
+@pytest.mark.slow
 def test_multi_camera_sharded_matches_local():
     """Two cameras over 8 devices (4 row shards per camera): sharded pixels
     equal the unsharded fast render on every mode class (incl. the
@@ -434,6 +436,7 @@ def test_tiled_sharded_strips_match_single_device(mode):
     np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-11, equal_nan=True)
 
 
+@pytest.mark.slow
 def test_tiled_sharded_gradients_match_single_device():
     """Strip-accumulated params+pose gradients agree between the sharded
     and unsharded tiled paths (shard_map transpose psums the replicated

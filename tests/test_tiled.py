@@ -61,6 +61,7 @@ def test_tiled_dividing_strip_and_single_strip():
                                    equal_nan=True)
 
 
+@pytest.mark.slow
 def test_tiled_tau_and_bounces():
     """Early exit is per-ray and bounces re-march per strip; both must be
     strip-partition-independent. Bounced grazing rays are chaotic (XLA
@@ -77,6 +78,7 @@ def test_tiled_tau_and_bounces():
         assert (~close).mean() < 0.001, f"mode {mode}: {(~close).mean()}"
 
 
+@pytest.mark.slow
 def test_tiled_multi_camera_matches_full():
     """Multi-camera batches loop (camera, strip) pairs; the whole-image
     normalizations span the full batch like the one-pass renderers —
@@ -144,6 +146,7 @@ def test_cli_render_strip_height(tmp_path):
         assert im.size == (64, 40)
 
 
+@pytest.mark.slow
 def test_tiled_loss_and_grad_matches_full():
     """Strip-accumulated gradients equal the full-image value_and_grad for
     modes without a whole-image normalization (mode 0: exact, the
@@ -221,6 +224,7 @@ def test_tiled_render_all_modes_matches_full():
                                        equal_nan=True, err_msg=name)
 
 
+@pytest.mark.slow
 def test_tiled_pose_gradients_match_full():
     """with_pose=True: strip-accumulated pose cotangents equal the
     one-pass renderer's (VERDICT r2 #3 — pose-at-8K is a real use case)."""
@@ -249,6 +253,7 @@ def test_tiled_pose_gradients_match_full():
                                    rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_tiled_alpha_loss_matches_full():
     """alpha_target: the strip-accumulated silhouette term equals the
     one-pass render_with_alpha loss and gradient (min_f is per-ray, so
@@ -275,6 +280,7 @@ def test_tiled_alpha_loss_matches_full():
                                    rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_tiled_pluggable_loss():
     """A custom per-pixel loss (L1) routes through the strip accumulation;
     value matches the directly-computed whole-image L1."""

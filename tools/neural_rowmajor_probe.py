@@ -71,6 +71,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from ray_marching_tpu import runtime
+
+    runtime.enable_persistent_cache()  # repeat probes skip tunnel compiles
+
     from ray_marching_tpu.scene.neural import (NeuralSDF, init_neural_params,
                                                neural_sdf_matmul)
 

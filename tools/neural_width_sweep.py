@@ -74,6 +74,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ray_marching_tpu import runtime
+
+    runtime.enable_persistent_cache()  # repeat sweeps skip tunnel compiles
+
     from ray_marching_tpu.render.fast import FastRenderer
     from ray_marching_tpu.render.pipeline import RenderConfig, Renderer
     from ray_marching_tpu.scene.neural import NeuralSDF

@@ -27,12 +27,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 
+from ray_marching_tpu import runtime
+
 # Persistent compile cache: the multi-view train step is a large program
 # and the axon remote-compile path is slow — cache across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+runtime.enable_persistent_cache()
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -92,12 +92,20 @@ def main():
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--out", default="docs/neural_fit")
+    ap.add_argument("--hidden", type=int, default=24,
+                    help="MLP hidden width (>=64 exercises the MXU matmul "
+                         "evaluator + XLA march)")
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "componentwise", "matmul"],
+                    help="NeuralSDF evaluator (auto: matmul at width>=64)")
     args = ap.parse_args()
     out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
 
     target_scene = Union(children=(ROOM, TARGET_SHAPE))
     learn_scene = Union(
-        children=(ROOM, NeuralSDF(hidden=(24, 24), seed=11, scale=0.5, w0=8.0))
+        children=(ROOM, NeuralSDF(hidden=(args.hidden, args.hidden), seed=11,
+                                  scale=0.5, w0=8.0, impl=args.impl))
     )
     # All views render as ONE multi-camera batch: a single pipeline per
     # shader mode in the jit graph keeps compile time sane.
@@ -191,11 +199,19 @@ def main():
             updates, opt_state = fine_opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        # rays/s for the train loop: each step renders views x W x H rays
+        # through TWO shader modes (fwd+bwd each).
+        rays_per_step = 2 * args.views * args.width * args.height
+        tp, last_i = time.perf_counter(), -1
         for i in range(args.pixel_steps):
             params, opt_state, loss = fine_step(params, opt_state)
             if i % 20 == 0 or i == args.pixel_steps - 1:
+                now = time.perf_counter()
                 rec = {"stage": "pixel", "step": i, "loss": float(loss),
-                       "wall_s": time.perf_counter() - t0}
+                       "wall_s": now - t0,
+                       "rays_per_s": round(rays_per_step * (i - last_i)
+                                           / max(now - tp, 1e-9))}
+                tp, last_i = now, i
                 print(json.dumps(rec), flush=True)
                 metrics.write(json.dumps(rec) + "\n")
     metrics.close()
