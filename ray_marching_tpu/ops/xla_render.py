@@ -3,12 +3,14 @@
 The fused Pallas mega-kernel (:mod:`ray_marching_tpu.ops.pallas_render`)
 is the right tool for analytic scenes: sqrt-dense VPU work, everything
 VMEM-resident, measured at elementwise speed-of-light
-(docs/PERFORMANCE.md). For **matmul-dominated** scenes (wide
-``NeuralSDF`` MLPs) the balance flips: the MLP wants XLA's native MXU
-matmul tiling/fusion, and the kernel's per-evaluation
-``(rows, 128) → (1, rows·128)`` Mosaic relayouts become pure overhead —
-measured in ``tools/neural_rowmajor_probe.py`` and the width sweep
-(docs/PERFORMANCE.md, "Neural SDFs on the MXU"). This module provides the
+(docs/PERFORMANCE.md). For **matmul** scenes (wide ``NeuralSDF`` MLPs)
+the balance shifts: the MLP wants XLA's native MXU matmul tiling/fusion,
+and the kernel's per-evaluation ``(rows, 128) → (1, rows·128)`` Mosaic
+relayouts become overhead. Measured head-to-head on the chip
+(docs/PERFORMANCE.md, "XLA vs fused march", round 4): XLA wins every
+FORWARD at widths 16–256 and compiles 10–20× faster; the fused kernel
+wins wide TRAINING (see the table for the crossover and the
+``march_impl='fused'`` override guidance). This module provides the
 same four entry points as ``pallas_render`` with identical signatures and
 plane contracts, evaluated by XLA:
 

@@ -51,17 +51,27 @@ LANES = 128
 ROWS_PER_TILE = 256
 
 
+#: 'auto' routes matmul scenes this wide (max hidden width) to the FUSED
+#: kernel instead of XLA. On-chip head-to-head (512², 16 steps, f32;
+#: docs/PERFORMANCE.md "XLA vs fused march", round 4): XLA wins every
+#: forward by 1.5–6% and compiles 4–25× faster, but the fused backward
+#: wins wide TRAINING — w64 48.6 vs 64.3 ms (−24%), w256 172.6 vs
+#: 261.4 ms (−34%) — while w16 training also goes to XLA (17.1 vs
+#: 18.6 ms). Wide nets exist here to be FIT, so 'auto' optimizes the
+#: train step above a 2–5% forward edge; forward-only wide serving
+#: should pass march_impl='xla' (or serve an exported .rmx).
+NEURAL_MARCH_FUSED_MIN_WIDTH = 64
+
+
 def scene_contains_matmul_neural(node) -> bool:
     """True when the scene CONTAINS a NeuralSDF that resolves to the
-    matmul evaluator — the workload where XLA's native MXU tiling beats
-    the Mosaic mega-kernel (whose per-eval plane↔lane-vector relayouts
-    are pure overhead for matmul chains; measured crossover in
-    docs/PERFORMANCE.md "XLA vs fused march").
+    matmul evaluator (the ``march_impl='auto'`` dispatch predicate —
+    width decides xla vs fused, see NEURAL_MARCH_FUSED_MIN_WIDTH).
 
     Containment, not dominance: one matmul NeuralSDF anywhere in the tree
-    routes the whole march to XLA under ``march_impl='auto'``. A mixed
-    scene dominated by analytic SDFs may prefer ``march_impl='fused'`` —
-    pass it explicitly; a cost-based heuristic is future work."""
+    decides the whole march under ``march_impl='auto'``. A mixed scene
+    dominated by analytic SDFs may prefer ``march_impl='fused'`` — pass
+    it explicitly; a cost-based heuristic is future work."""
     from ray_marching_tpu.scene.neural import NeuralSDF, resolve_impl
 
     if isinstance(node, NeuralSDF) and resolve_impl(node) == "matmul":
@@ -72,6 +82,22 @@ def scene_contains_matmul_neural(node) -> bool:
     return any(
         scene_contains_matmul_neural(c) for c in getattr(node, "children", ())
     )
+
+
+def max_matmul_neural_width(node) -> int:
+    """Widest hidden layer among the scene's matmul-resolving NeuralSDF
+    nodes (0 when there are none)."""
+    from ray_marching_tpu.scene.neural import NeuralSDF, resolve_impl
+
+    width = 0
+    if isinstance(node, NeuralSDF) and resolve_impl(node) == "matmul":
+        width = max(node.hidden, default=0)
+    child = getattr(node, "child", None)
+    if child is not None:
+        width = max(width, max_matmul_neural_width(child))
+    for c in getattr(node, "children", ()):
+        width = max(width, max_matmul_neural_width(c))
+    return width
 
 
 def _to_planes(flat: np.ndarray, rows: int) -> np.ndarray:
@@ -120,13 +146,19 @@ class FastRenderer:
             raise ValueError(f"march_impl must be auto|fused|xla, "
                              f"got {march_impl!r}")
         if march_impl == "auto":
-            # Wide-MLP (matmul) scenes run the march under XLA — native
-            # MXU tiling, no Mosaic relayouts, remat backward; everything
-            # else keeps the fused Pallas mega-kernel (ops/xla_render.py
-            # docstring has the measured crossover).
-            march_impl = (
-                "xla" if scene_contains_matmul_neural(scene) else "fused"
-            )
+            # Matmul (neural) scenes: XLA march below
+            # NEURAL_MARCH_FUSED_MIN_WIDTH (wins forward AND train there,
+            # compiles in seconds); at/above it the fused Pallas backward
+            # wins training by 24–34%, so wide nets stay on the fused
+            # kernel. Analytic scenes always take the fused mega-kernel.
+            # Every number behind this dispatch: docs/PERFORMANCE.md
+            # "XLA vs fused march" (round 4).
+            if scene_contains_matmul_neural(scene):
+                wide = (max_matmul_neural_width(scene)
+                        >= NEURAL_MARCH_FUSED_MIN_WIDTH)
+                march_impl = "fused" if wide else "xla"
+            else:
+                march_impl = "fused"
         self.march_impl = march_impl
         self.config = config
         self.dtype = dtype

@@ -56,6 +56,14 @@ def test_auto_dispatch():
                     Affine(_neural_scene(), (1, 0, 0, 0), (0, 0, 0))))
     assert scene_contains_matmul_neural(nested)
     assert FastRenderer(nested, cfg).march_impl == "xla"
+    # At/above NEURAL_MARCH_FUSED_MIN_WIDTH the fused backward wins
+    # training 24-34% (docs/PERFORMANCE.md "XLA vs fused march") — wide
+    # matmul scenes stay on the fused kernel.
+    wide = NeuralSDF(hidden=(64, 64), seed=3, impl="matmul")
+    assert FastRenderer(wide, cfg).march_impl == "fused"
+    assert FastRenderer(
+        Union((Sphere(0.5), wide)), cfg
+    ).march_impl == "fused"
     with pytest.raises(ValueError):
         FastRenderer(Sphere(0.5), cfg, march_impl="triton")
 
