@@ -561,16 +561,19 @@ def test_hist_handoff_coverage_backward_bitwise(monkeypatch):
 
 def test_history_handoff_engages_at_non_tile_multiple_rows():
     """Round-4 regression pin: the forward mega-kernel and the backward
-    kernel must agree on the 128-row tile so the history buffer's padded
-    row count matches and the march-history handoff stays ON. A round-3
-    refactor silently switched the forward to pallas_march's 256-row
-    default; at any row count not divisible by 256 (e.g. 1080p's 16200)
-    the padded shapes then differ and fused_backward dropped to its
-    in-kernel recompute — a 5% throughput regression that no test
-    caught."""
+    kernel must pad the history buffer identically so the march-history
+    handoff stays ON. A round-3 refactor silently switched the forward
+    to pallas_march's 256-row tile default (~10% slower kernel — the
+    measured 238-vs-251 Mrays/s regression); it also made the handoff's
+    padded-shape guard trip for any plane-row count the 128-row backward
+    tile pads differently. FastRenderer's own 256-row row padding masks
+    that at big images (1080p = 16384 rows, divisible by both), so this
+    test uses 200 rows (< the renderer's 256-row padding threshold,
+    > one 128-row tile): forward tile 200 vs backward 128 padded shapes
+    differ (200 vs 256) and use_hist silently drops without the fix."""
     from ray_marching_tpu.ops import pallas_backward as pb
 
-    w, h = 512, 82  # 328 plane rows: % 128 == 72, % 256 == 72, pads differ
+    w = h = 160  # 25600 rays -> 200 plane rows (8-row renderer padding)
     cfg = RenderConfig(
         px_width=w, px_height=h,
         focal_length=PX * h, sensor_width=PX * w, sensor_height=PX * h,
