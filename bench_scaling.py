@@ -43,6 +43,13 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    if not args.cpu:
+        # Real-hardware runs: 4K sharded compiles are minutes through a
+        # tunnel; repeat runs must be warm (same treatment as bench.py).
+        from ray_marching_tpu import runtime
+
+        runtime.enable_persistent_cache()
+
     from ray_marching_tpu.parallel import fast_sharding as fs
     from ray_marching_tpu.parallel.sharding import make_mesh, make_train_step
     from ray_marching_tpu.render.fast import FastRenderer
