@@ -26,8 +26,9 @@ stage streams progress to stderr so a timeout leaves a diagnosable tail;
 the CPU leg runs concurrently in a subprocess; a provisional reduced-
 iteration TPU number is recorded before the full timing run; and a
 watchdog thread prints the best-available JSON line and exits 0 if
-BENCH_DEADLINE seconds (default 600) pass — so even a hung tunnel
-yields a parsed, degraded result instead of nothing.
+BENCH_DEADLINE seconds (default 450; a warm-cache run takes ~40 s,
+cold ~110 s) pass — so even a hung tunnel yields a parsed, degraded
+result instead of nothing.
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ import time
 
 BENCH_STEPS = 32
 WARMUP_ITERS = 2
-DEADLINE = float(os.environ.get("BENCH_DEADLINE", "600"))
+DEADLINE = float(os.environ.get("BENCH_DEADLINE", "450"))
 
 _T0 = time.perf_counter()
 # Best-so-far result, readable by the watchdog thread at any moment.

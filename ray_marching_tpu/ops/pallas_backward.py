@@ -60,13 +60,17 @@ def _store_gtheta_leaves(gtheta_ref, gsmall, specs, dtype):
             pos += n
 
 
-BWD_ROWS_PER_TILE = 128
+# Round-4 re-sweep WITH the history handoff + 8-way unrolled reverse
+# sweep (1080p exact fwd+bwd, 3 interleaved repeats, fwd tile 64):
+# bwd 32 → 7.99 ms (winner), 64 → 8.24, 128 → 8.10; the round-2 sweep
+# below predates the handoff and chose 128 — superseded.
+BWD_ROWS_PER_TILE = 32
 # Scoped-VMEM budget for the backward kernel. The Mosaic default (16 MiB)
 # caps the tile at 64 rows (position history + reverse-sweep VJP
 # temporaries); v5e VMEM is 128 MiB physical, so a raised budget admits
-# larger tiles. Measured sweep (tools/bwd_tile_sweep.py, 1080p fwd+bwd,
-# v5e): 64/16M 13.2 ms, 128/64M 12.2 ms (winner), 192/96M 13.4 ms,
-# 256 worse — see docs/PERFORMANCE.md.
+# larger tiles. Round-2 measured sweep (tools/bwd_tile_sweep.py, 1080p
+# fwd+bwd, v5e, pre-handoff): 64/16M 13.2 ms, 128/64M 12.2 ms,
+# 192/96M 13.4 ms, 256 worse — see docs/PERFORMANCE.md.
 BWD_VMEM_LIMIT_BYTES = 64 * 2**20
 # Two-level recompute: log every K-th position only, re-march segments
 # during the reverse sweep. Scratch drops from steps×3 to (steps/K + K)×3
@@ -565,10 +569,29 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
                 "RM_TPU_NEURAL_BWD_TILE", str(max(8, 2048 // width))
             ))
             tile = min(tile, max(8, ntile))
-        # The forward logged its history at the forward kernel's padded row
-        # count; only usable if it matches this kernel's padding.
-        if use_hist and hist.shape[2] != rows + (-rows % tile):
+        # Align this kernel's tiling with the FORWARD kernel's padded row
+        # count in BOTH modes (handoff and recompute): tile = gcd with
+        # that count (stays a multiple of 8 — both are), rays padded to
+        # it. This (a) lets the handoff engage at any row count instead
+        # of requiring the two kernels' paddings to coincide, and (b)
+        # keeps the ray partition — and therefore the per-tile parameter
+        # cotangent summation order — identical with the handoff on and
+        # off, preserving the bitwise handoff-equality invariant
+        # (tests/test_fast.py::test_hist_handoff_backward_bitwise).
+        import math
+
+        from ray_marching_tpu.ops.pallas_march import _tile_rows
+        from ray_marching_tpu.ops.pallas_render import (
+            DEFAULT_ROWS_PER_TILE as _FWD_TILE_DEFAULT,
+        )
+
+        fwd_tile = _tile_rows(rows, width, default=_FWD_TILE_DEFAULT)
+        fwd_rows = rows + (-rows % fwd_tile)
+        if use_hist and hist.shape[2] != fwd_rows:
+            # History from a forward whose tiling this kernel cannot
+            # reconstruct (e.g. env overrides changed between passes).
             use_hist = False
+        tile = math.gcd(tile, fwd_rows)
         if use_hist and tau != 0.0:
             from ray_marching_tpu.ops.pallas_render import (
                 DEFAULT_ROWS_PER_TILE,
@@ -598,7 +621,11 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
     # at the world origin — a gradient singularity for scenes with a
     # primitive centred there), cotangents zero — so pad rows recompute a
     # benign real march and contribute exactly zero to every accumulator.
-    pad = -rows % tile
+    # Non-two-level kernels pad straight to the forward's padded row
+    # count (a tile multiple by the gcd adaptation above — the forward
+    # may have padded MORE than this kernel's tile alone would; the
+    # extra all-pad tiles contribute exact zeros).
+    pad = (-rows % tile) if two_level else (fwd_rows - rows)
     if pad:
         rays7 = jnp.pad(rays7, ((0, 0), (0, pad), (0, 0)), mode="edge")
         g8 = jnp.pad(g8, ((0, 0), (0, pad), (0, 0)))

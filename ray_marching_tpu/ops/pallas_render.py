@@ -35,9 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ray_marching_tpu.render.normals import make_offsets
 
 LANES = 128
-# Tuned on TPU v5e (tile sweep in round 1): 128-row tiles + statically
-# unrolled march steps beat 256-row tiles + fori_loop by ~1.3x.
-DEFAULT_ROWS_PER_TILE = 128
+# Tuned on TPU v5e. Round-4 sweep at 1080p (3 interleaved repeats each):
+# forward tau=0 — 64-row 2.09-2.15 ms ≈ 32-row 2.15 < 128-row 2.22 <
+# 192-row 2.45 < 256-row 2.46; tau=1e-3 forward — 64-row 2.29 best
+# (32-row 2.64: segment-exit selectivity loses, matching the round-2
+# note); 4K forward — 64-row 8.37 best (128-row 8.82). 64 wins or ties
+# every forward workload.
+DEFAULT_ROWS_PER_TILE = 64
 MAX_UNROLL_STEPS = 64
 # Early-exit (tau > 0) convergence-check cadence: steps per while_loop
 # segment. See _march_tile.

@@ -560,17 +560,16 @@ def test_hist_handoff_coverage_backward_bitwise(monkeypatch):
 
 
 def test_history_handoff_engages_at_non_tile_multiple_rows():
-    """Round-4 regression pin: the forward mega-kernel and the backward
-    kernel must pad the history buffer identically so the march-history
-    handoff stays ON. A round-3 refactor silently switched the forward
-    to pallas_march's 256-row tile default (~10% slower kernel — the
-    measured 238-vs-251 Mrays/s regression); it also made the handoff's
-    padded-shape guard trip for any plane-row count the 128-row backward
-    tile pads differently. FastRenderer's own 256-row row padding masks
-    that at big images (1080p = 16384 rows, divisible by both), so this
-    test uses 200 rows (< the renderer's 256-row padding threshold,
-    > one 128-row tile): forward tile 200 vs backward 128 padded shapes
-    differ (200 vs 256) and use_hist silently drops without the fix."""
+    """Round-4 regression pin: the march-history handoff must engage at
+    row counts the forward and backward kernels would pad differently.
+    A round-3 refactor silently switched the forward to pallas_march's
+    256-row tile default (25% slower kernel — the measured 238-vs-251
+    Mrays/s regression) and made the handoff's old padded-shape-equality
+    guard trip at such sizes. The backward now adapts its tile (gcd with
+    the history's padded rows) and pads the rays to the history, so
+    use_hist must be True here by construction — this 200-row case
+    (renderer pads to 8s below 2 M rays; 200 is no multiple of either
+    kernel tile) is the shape that silently dropped before."""
     from ray_marching_tpu.ops import pallas_backward as pb
 
     w = h = 160  # 25600 rays -> 200 plane rows (8-row renderer padding)
