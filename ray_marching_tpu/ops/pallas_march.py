@@ -36,22 +36,11 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.flatten_util import ravel_pytree
 
 from ray_marching_tpu.render import march as march_mod
 
 LANES = 128
 DEFAULT_ROWS_PER_TILE = 256
-
-
-def ravel_params_padded(params, dtype):
-    """ravel_pytree that tolerates parameterless scenes: Mosaic block specs
-    need width >= 1, so an empty vector is padded to one dummy zero and the
-    unravel ignores the padding."""
-    flat, unravel = ravel_pytree(params)
-    if flat.size == 0:
-        return jnp.zeros((1,), dtype), lambda v: unravel(v[:0])
-    return flat, unravel
 
 
 class _ParamSplit:
