@@ -40,7 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ray_marching_tpu.render import march as march_mod
 
 LANES = 128
-DEFAULT_ROWS_PER_TILE = 256
+# Round-4 sweep (1080p, 32 steps, use_pallas modular path, v5e): 64-row
+# tiles 2.50 ms, 128 → 2.61, 256 → 3.10 — same winner as the mega-kernel
+# (ops/pallas_render).
+DEFAULT_ROWS_PER_TILE = 64
 
 
 class _ParamSplit:
