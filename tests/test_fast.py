@@ -559,6 +559,46 @@ def test_hist_handoff_coverage_backward_bitwise(monkeypatch):
         )
 
 
+def test_two_level_recompute_gradients_match(monkeypatch):
+    """The opt-in two-level recompute backward (RM_TPU_BWD_TWO_LEVEL=1 —
+    the memory escape hatch for step counts whose position history cannot
+    fit) must reproduce the default fused-backward gradients. Segment
+    re-march replays bitwise-identical positions; only the cotangent
+    accumulation associates differently, so f64 agreement is ~1e-12
+    relative. Previously untested — the round-4 pad refactor touched its
+    branch."""
+    from ray_marching_tpu.ops import pallas_backward as pb
+
+    cfg = RenderConfig(
+        px_width=96, px_height=64,
+        focal_length=PX * 64, sensor_width=PX * 96, sensor_height=PX * 64,
+        marching_steps=16,  # divisible by CKPT_INTERVAL, engages 2l
+    )
+    f = FastRenderer(registry.make_scene("test_scene2"), cfg,
+                     dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    q = jnp.asarray([[0.1, 0.03, 0.99, 0.03]], jnp.float64)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray([[0.1, 0.2, 2.0]], jnp.float64)
+    rng = np.random.default_rng(5)
+    wgt = jnp.asarray(rng.standard_normal((1, 64, 96, 3)))
+
+    def loss(params):
+        return jnp.sum(f.render(params, q, t, mode=0, degree=2) * wgt)
+
+    monkeypatch.setenv("RM_TPU_BWD_TWO_LEVEL", "1")
+    g2l = param_paths(jax.grad(loss)(f.init_params))
+    assert pb.LAST_PATH["two_level"] is True
+    monkeypatch.delenv("RM_TPU_BWD_TWO_LEVEL")
+    g = param_paths(jax.grad(loss)(f.init_params))
+    assert pb.LAST_PATH["two_level"] is False
+    for k in g:
+        np.testing.assert_allclose(
+            np.asarray(g2l[k]), np.asarray(g[k]), rtol=1e-9, atol=1e-11,
+            err_msg=k,
+        )
+
+
 def test_history_handoff_engages_at_non_tile_multiple_rows():
     """Round-4 regression pin: the march-history handoff must engage at
     row counts the forward and backward kernels would pad differently.
