@@ -12,7 +12,9 @@ device (TPU when present), and a CPU reference in a subprocess at reduced
 resolution (rays/s is per-ray work, so resolution-independent to first
 order; the reduction keeps the CPU leg fast).
 
-Prints ONE JSON line:
+Prints a forward-only JSON line first (informational), then the headline
+line LAST (the driver parses the last line):
+  {"metric": "rays_per_sec_fwd_1080p", ...}
   {"metric": "rays_per_sec_fwd_bwd_1080p", "value": <tpu rays/s>,
    "unit": "rays/s/chip", "vs_baseline": <tpu / (10 x cpu)>}
 
@@ -46,7 +48,10 @@ DEADLINE = float(os.environ.get("BENCH_DEADLINE", "450"))
 
 _T0 = time.perf_counter()
 # Best-so-far result, readable by the watchdog thread at any moment.
-_STATE: dict = {"value": None, "cpu_rays": None, "stage": "start"}
+# "cpu_proc" holds the concurrent CPU-baseline Popen so the watchdog can
+# reap it before hard-exiting (an orphaned leg burns a core for minutes).
+_STATE: dict = {"value": None, "cpu_rays": None, "stage": "start",
+                "cpu_proc": None}
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 
@@ -90,6 +95,12 @@ def _watchdog() -> None:
         remaining = DEADLINE - (time.perf_counter() - _T0)
     progress(f"DEADLINE ({DEADLINE}s) reached — emitting degraded result")
     emit(degraded=True)
+    proc = _STATE.get("cpu_proc")
+    if proc is not None and proc.poll() is None:
+        try:
+            proc.kill()
+        except Exception:
+            pass
     os._exit(0)
 
 
@@ -199,6 +210,7 @@ def main():
     progress(f"compile cache at {cache_dir}")
 
     cpu_proc = start_cpu_baseline()
+    _STATE["cpu_proc"] = cpu_proc
     progress("CPU leg started (concurrent subprocess)")
 
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
@@ -227,6 +239,42 @@ def main():
     dt = time_step(step, r.init_params, iters)
     _STATE["value"] = (width * height) / dt
     progress(f"{iters} iters timed: {_STATE['value'] / 1e6:.1f}M rays/s")
+
+    # Forward-only leg (informational second metric; printed BEFORE the
+    # headline line — the driver parses the LAST line). Skipped when the
+    # remaining deadline budget could not absorb its compile.
+    if DEADLINE - (time.perf_counter() - _T0) > 120.0:
+        try:
+            import jax.numpy as jnp
+
+            q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float32)
+            t = jnp.asarray([[0.0, 0.2, 2.5]], jnp.float32)
+            fwd = jax.jit(
+                lambda p: jnp.mean(r.render(p, q, t, mode=0, degree=2))
+            )
+            for _ in range(WARMUP_ITERS):
+                out = fwd(r.init_params)
+            float(out)
+            fwd_iters = 100 if on_accel else 3
+            t0 = time.perf_counter()
+            for _ in range(fwd_iters - 1):
+                fwd(r.init_params)
+            float(fwd(r.init_params))
+            fdt = (time.perf_counter() - t0) / fwd_iters
+            fwd_rays = (width * height) / fdt
+            progress(f"forward-only: {fwd_rays / 1e6:.1f}M rays/s")
+            print(
+                json.dumps(
+                    {
+                        "metric": "rays_per_sec_fwd_1080p",
+                        "value": round(fwd_rays),
+                        "unit": "rays/s/chip",
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as exc:  # informational only — never sink the run
+            progress(f"forward-only leg failed: {exc}")
 
     try:
         budget = DEADLINE - (time.perf_counter() - _T0) - 15.0

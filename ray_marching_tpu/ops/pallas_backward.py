@@ -593,17 +593,14 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
             use_hist = False
         tile = math.gcd(tile, fwd_rows)
         if use_hist and tau != 0.0:
-            from ray_marching_tpu.ops.pallas_render import (
-                DEFAULT_ROWS_PER_TILE,
-            )
-
             # The exit-step plane is constant per FORWARD tile, and history
             # planes past a forward tile's exit step are unwritten. A
             # backward tile spanning several forward tiles would apply
             # tile 0's exit step to rows whose history stops earlier —
             # only safe when each backward tile sits inside one forward
-            # tile.
-            if min(DEFAULT_ROWS_PER_TILE, rows) % tile != 0:
+            # tile. Check against the ACTUAL forward tile (env overrides
+            # like RM_TPU_NEURAL_TILE change it), not the default.
+            if fwd_tile % tile != 0:
                 use_hist = False
         kernel = functools.partial(
             _bwd_kernel, sdf_c, rebuild, steps, tau, normals_eps, offsets,

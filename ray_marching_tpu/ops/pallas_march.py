@@ -284,11 +284,12 @@ NEURAL_TILE_WIDTH_CAP = 128
 
 def _tile_rows(rows: int, width: int = 0, default: int | None = None) -> int:
     """Ray-tile row count for a kernel call. ``default`` is the caller's
-    analytic-scene tile (each kernel has its own measured winner —
-    pallas_render's mega-kernel runs at 128, this module's standalone
-    marcher at 256; a round-3 refactor silently switched the mega-kernel
-    to 256, costing 10% forward AND breaking the history handoff's
-    row-padding match at 1080p — the 238-vs-250 Mrays/s regression)."""
+    analytic-scene tile (each kernel has its own measured winner — see
+    the sweep notes on pallas_render.DEFAULT_ROWS_PER_TILE and this
+    module's DEFAULT_ROWS_PER_TILE, both currently 64; a round-3 refactor
+    silently switched the mega-kernel to the marcher's then-256 default,
+    costing 10% forward AND breaking the history handoff's row-padding
+    match at 1080p — the 238-vs-250 Mrays/s regression)."""
     import os
 
     tile = min(DEFAULT_ROWS_PER_TILE if default is None else default, rows)

@@ -285,11 +285,12 @@ def _call_render_kernel(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
     )
 
     rows = rays7.shape[1]
-    # default=DEFAULT_ROWS_PER_TILE (128, this module's measured winner) —
-    # NOT pallas_march's 256: besides being slower for this kernel, a
-    # 256-row forward tile pads the history buffer differently from the
-    # 128-row backward tile at most resolutions, silently disabling the
-    # march-history handoff (fused_backward checks hist.shape[2]).
+    # default=DEFAULT_ROWS_PER_TILE (this module's measured winner — see
+    # the sweep note on the constant) — NOT pallas_march's default: besides
+    # any speed difference, a mismatched forward tile pads the history
+    # buffer differently from the backward tile at most resolutions,
+    # silently disabling the march-history handoff (fused_backward checks
+    # hist.shape[2]).
     rows_per_tile = _tile_rows(rows, matmul_width(mats),
                                default=DEFAULT_ROWS_PER_TILE)
     # Rows may not divide the tile (e.g. multi-camera stacks of 8-row-padded
