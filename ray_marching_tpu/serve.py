@@ -17,11 +17,14 @@ reference main.py:19-88); this is a TPU-framework capability extension.
 from __future__ import annotations
 
 import json
+import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+log = logging.getLogger("ray_marching_tpu.serve")
 
 
 def _parse_pose(spec: str, dtype):
@@ -73,6 +76,10 @@ class RenderServer:
             t = jnp.concatenate([t] * n, axis=0)
         np.asarray(self.render_fn(self.params, q, t))
         self._warm = True
+        #: request/error counters (monotonic; read for observability —
+        #: tests assert on them, ops can scrape them via /stats).
+        self.stats = {"requests": 0, "errors_400": 0, "errors_500": 0,
+                      "client_drops": 0}
 
         server = self
 
@@ -89,6 +96,7 @@ class RenderServer:
 
             def do_GET(self):
                 url = urlparse(self.path)
+                server.stats["requests"] += 1
                 try:
                     if url.path == "/healthz":
                         self._send(200, b"ok", "text/plain")
@@ -97,27 +105,37 @@ class RenderServer:
                             200, json.dumps(server.meta).encode(),
                             "application/json",
                         )
+                    elif url.path == "/stats":
+                        self._send(
+                            200, json.dumps(server.stats).encode(),
+                            "application/json",
+                        )
                     elif url.path == "/render":
                         qs = parse_qs(url.query)
                         pose = qs.get("pose", ["1,0,0,0/0,0,0"])[0]
                         try:  # malformed pose strings are the caller's fault
                             q, t = _parse_pose(pose, server.dtype)
                         except (ValueError, IndexError) as exc:
+                            server.stats["errors_400"] += 1
+                            log.warning("400 %s: %s", self.path, exc)
                             self._send(400, str(exc).encode(), "text/plain")
                             return
                         png = server.render_png_arrays(q, t)
                         self._send(200, png, "image/png")
                     else:
                         self._send(404, b"not found", "text/plain")
-                except OSError:
+                except OSError as exc:
                     # Socket already broken (client gone mid-response) —
-                    # nothing sensible left to write.
-                    pass
+                    # nothing sensible left to write; count + log it.
+                    server.stats["client_drops"] += 1
+                    log.info("client dropped %s: %s", self.path, exc)
                 except Exception as exc:  # device/handler failure: ours
+                    server.stats["errors_500"] += 1
+                    log.exception("500 %s", self.path)
                     try:
                         self._send(500, str(exc).encode(), "text/plain")
                     except OSError:
-                        pass
+                        server.stats["client_drops"] += 1
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
