@@ -416,6 +416,40 @@ def cmd_export(args):
 
 
 def cmd_serve(args):
+    if args.interactive:
+        # Browser live viewer: mouse-look + wasd + scroll mode cycling over
+        # HTTP — the reference's interactive-window capability
+        # (reference main.py:19-88, torchwindow/window.py:146-174) with no
+        # display server needed.
+        from ray_marching_tpu.control import SessionState
+        from ray_marching_tpu.render.lighting import EXTRA_MODES
+        from ray_marching_tpu.web import LiveViewer
+
+        renderer = _build_renderer(args)
+        mode0 = _parse_mode(args.mode)
+        modes = list(range(8))
+        if args.all_modes or isinstance(mode0, str):
+            modes += list(EXTRA_MODES)
+        start = modes.index(mode0 if isinstance(mode0, str) else mode0 % 8)
+        viewer = LiveViewer(
+            renderer, host=args.host, port=args.port,
+            params=_initial_params(args, renderer), modes=modes,
+            session=SessionState(mode=start, marching_steps=args.steps),
+            max_fps=args.max_fps, idle_timeout=args.idle_timeout,
+            fetch_stride=args.fetch_stride, save_dir=args.save_dir,
+        )
+        print(f"live viewer on http://{args.host}:{viewer.port}/ "
+              f"(open in a browser; q in the page or Ctrl-C here quits)")
+        try:
+            viewer.run()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            viewer.close()
+        return
+    if not args.artifact:
+        raise SystemExit("serve: --artifact is required (or pass "
+                         "--interactive for the browser live viewer)")
     if args.cpu:
         import jax
 
@@ -554,17 +588,33 @@ def main(argv=None):
     p.add_argument("-o", "--out", default="model.rmx")
     p.set_defaults(fn=cmd_export)
 
-    p = sub.add_parser("serve", help="HTTP render server over an exported "
-                                     "artifact (no scene graph, no retrace)")
-    p.add_argument("--artifact", required=True, help=".rmx artifact path")
+    p = sub.add_parser("serve", help="HTTP server: an exported-artifact "
+                                     "pose endpoint (--artifact), or the "
+                                     "browser live viewer (--interactive)")
+    _add_render_args(p)  # also provides --params/--cpu/--compile-cache
+    p.add_argument("--artifact", default=None, help=".rmx artifact path "
+                   "(one-shot pose renders; ignored with --interactive)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8371)
-    p.add_argument("--params", default=None,
-                   help="npz checkpoint to hot-swap scene parameters "
-                        "(e.g. from optimize --save-params)")
-    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
-    p.add_argument("--compile-cache", nargs="?", const="", default=None,
-                   metavar="DIR", help="persistent compilation cache dir")
+    p.add_argument("--interactive", action="store_true",
+                   help="serve the live mouse-look/wasd browser session "
+                        "instead of the artifact endpoint (no X server "
+                        "needed; builds the renderer from the render args)")
+    p.add_argument("--mode", default="lambertian",
+                   help="initial shader for --interactive (name or index)")
+    p.add_argument("--all-modes", action="store_true",
+                   help="include the named lighting modes in the scroll "
+                        "cycle (--interactive)")
+    p.add_argument("--max-fps", type=float, default=30.0,
+                   help="render-loop throttle for --interactive")
+    p.add_argument("--idle-timeout", type=float, default=None,
+                   help="end the --interactive session after this many "
+                        "seconds without client contact")
+    p.add_argument("--fetch-stride", type=int, default=1,
+                   help="device-side pixel subsampling before the fetch "
+                        "(--interactive, thin links)")
+    p.add_argument("--save-dir", default=None,
+                   help="directory for p-key frame saves (--interactive)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("profile", help="write a jax.profiler trace")

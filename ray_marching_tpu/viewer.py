@@ -307,7 +307,8 @@ def run_viewer(renderer, input_source, sink: Callable, *,
                transfer: str = "uint8",
                fetch_stride: int = 1,
                params=None,
-               modes=None):
+               modes=None,
+               pose_callback: Optional[Callable] = None):
     """The frame loop (reference main.py:52-88). Returns final states.
 
     ``params`` renders with a specific scene-parameter pytree (e.g. an
@@ -387,6 +388,10 @@ def run_viewer(renderer, input_source, sink: Callable, *,
         if not session.running:
             break
         camera = apply_input(camera, snap, control)
+        if pose_callback is not None:
+            # Observability hook: the integrated pose/session for this
+            # frame, before dispatch (the web viewer's /state endpoint).
+            pose_callback(frame_idx, camera, session)
         key = (modes[session.mode % len(modes)], session.marching_steps,
                session.degree)
         if key in jitted_cache:
