@@ -165,6 +165,16 @@ class FastRenderer:
         self.interpret = interpret
         self.scene = scene
         self.sdf_vec, self.sdf_c, self.init_params = compile_scene(scene, dtype)
+        # Kernel-body-only SDF with union bounding-sphere short-circuiting
+        # (scene/graph.py compile_node(prune=True)): inside the Mosaic
+        # mega-kernel the lax.cond is a scalar per-tile branch that skips
+        # whole CSG subtrees when the tile is provably beyond them. NEVER
+        # use this variant on a plain-XLA path that may run under
+        # shard_map/GSPMD — see the shard-varying-cond hazard note in
+        # scene/graph.py.
+        from ray_marching_tpu.scene.graph import compile_node
+
+        self.sdf_c_kernel = compile_node(scene, prune=True)
         self.cyclic_cmap = shaders.load_cyclic_cmap(dtype)
         self.cmap_coeffs = (
             shaders.fourier_cmap_coeffs() if config.cmap_fourier else None
@@ -449,10 +459,23 @@ class FastRenderer:
         else:
             march = plain
 
+        # The pruned SDF is legal only where sdf_c is traced exclusively
+        # into Pallas kernel bodies: the plain/cov fused paths (forward
+        # mega-kernel + fully-fused backward kernel). The IFT variants
+        # differentiate sdf_c in plain jnp in their backward, and the XLA
+        # paths run it under possibly-sharded XLA — both keep the
+        # unpruned form (shard-varying lax.cond breaks the shard_map
+        # transpose; scene/graph.py).
+        sdf_for_march = (
+            self.sdf_c_kernel
+            if (self.march_impl != "xla" and cfg.backward != "implicit")
+            else self.sdf_c
+        )
+
         def run(origin, dirs):
             rays7 = jnp.stack(list(origin) + list(dirs) + [valid], axis=0)
             out = march(
-                self.sdf_c, rebuild, flat_params, mats, rays7, steps,
+                sdf_for_march, rebuild, flat_params, mats, rays7, steps,
                 cfg.tau, cfg.normals_eps, self.interpret,
             )
             return [out[i] for i in range(out.shape[0])]

@@ -22,8 +22,10 @@ convention.
 from __future__ import annotations
 
 import dataclasses
+import math
+import os
 from dataclasses import dataclass
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -216,12 +218,175 @@ def init_params(node: Node, dtype=jnp.float32):
     raise TypeError(f"unknown scene node: {node!r}")
 
 
-def compile_node(node: Node) -> Callable:
-    """Compile a node tree into ``f(params, x, y, z) -> d`` (componentwise)."""
+def subtree_leaf_count(node: Node) -> int:
+    """Number of primitive/custom leaves under ``node`` — the cost proxy
+    the union short-circuit uses to decide whether a child is worth a
+    guarded skip (a lone sphere costs less than its own bound check)."""
+    child = getattr(node, "child", None)
+    if child is not None:
+        return subtree_leaf_count(child)
+    children = getattr(node, "children", ())
+    if children:
+        return sum(subtree_leaf_count(c) for c in children)
+    return 1
+
+
+def bounding_sphere_fn(node: Node) -> Optional[Callable]:
+    """Runtime bounding sphere of a subtree: ``fn(params) -> (cx, cy, cz, R)``.
+
+    The returned scalars are traced from the CURRENT parameters (radii,
+    translations, blend factors are learnable and move during inverse
+    rendering — a static bound would go stale), and satisfy the skip
+    invariant used by the compiled union:
+
+        d_subtree(p) >= |p - c| - R   for ALL p (inside or out).
+
+    Proof sketch: the subtree's zero level set lies inside ball(c, R); for
+    any p the segment to the nearest ball-boundary point crosses the
+    surface, so the (signed) distance obeys the bound even at negative d.
+    Per node: Sphere/Box/Disk/Torus are origin-centred with closed-form
+    radii; Line covers its capsule; Union takes the enclosing ball of the
+    child balls; SmoothUnion additionally inflates by ``log(n)/k`` (the
+    LSE soft-min undershoots the hard min by at most that; k <= 0 yields
+    R = inf, i.e. never skip); Onion/Rounding inflate by their radius;
+    Affine maps the centre conservatively through the (possibly non-unit)
+    quaternion via its smallest singular value. Unbounded nodes (Plane,
+    NeuralSDF and other custom fields) return None, which disables the
+    skip for every ancestor union child containing them.
+    """
+    if isinstance(node, Sphere):
+        return lambda p: (0.0, 0.0, 0.0, jnp.abs(p["radius"]))
+    if isinstance(node, Box):
+        return lambda p: (
+            0.0, 0.0, 0.0, jnp.sqrt(jnp.sum(p["halfsides"] ** 2))
+        )
+    if isinstance(node, Disk):
+        return lambda p: (0.0, 0.0, 0.0, jnp.abs(p["radius"]))
+    if isinstance(node, Torus):
+        return lambda p: (
+            0.0, 0.0, 0.0, jnp.abs(p["radius1"]) + jnp.abs(p["radius2"])
+        )
+    if isinstance(node, Line):
+
+        def line_bound(p):
+            c = (p["start"] + p["end"]) * 0.5
+            half = jnp.sqrt(jnp.sum((p["end"] - p["start"]) ** 2)) * 0.5
+            return c[0], c[1], c[2], half + jnp.abs(p["radius"])
+
+        return line_bound
+    if isinstance(node, Affine):
+        child = bounding_sphere_fn(node.child)
+        if child is None:
+            return None
+
+        def affine_bound(p):
+            cx, cy, cz, r = child(p["child"])
+            q = p["orientation"]
+            t = p["translation"]
+            # The inverse query l = A(p - t) scales lengths by at least
+            # s_min = min(1, sqrt((1-2u)^2 + 4w^2 u)) (singular values of
+            # the 2-cross rotation identity at non-unit |q|; = 1 for unit
+            # quaternions), so d(p) = d_child(l) >= s_min|p - t| - |c| - R
+            # — conservative by up to 2|c| vs the rotated-centre bound,
+            # but valid even when optimization lets q drift off S^3.
+            u = q[1] ** 2 + q[2] ** 2 + q[3] ** 2
+            m = jnp.sqrt((1.0 - 2.0 * u) ** 2 + 4.0 * q[0] ** 2 * u)
+            s_min = jnp.minimum(1.0, m)
+            c_norm = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+            # Fold the |p - t| scaling into sphere form: centre t, radius
+            # (|c| + R)/s_min — valid since s_min|p-t| - |c| - R >= 0 iff
+            # |p - t| >= (|c| + R)/s_min; guard s_min ~ 0 with inf.
+            r_eff = jnp.where(
+                s_min > 1e-6, (c_norm + r) / jnp.maximum(s_min, 1e-6),
+                jnp.inf,
+            )
+            return t[0], t[1], t[2], r_eff
+
+        return affine_bound
+    if isinstance(node, (Union, SmoothUnion)):
+        fns = [bounding_sphere_fn(c) for c in node.children]
+        if any(f is None for f in fns):
+            return None
+        n = len(node.children)
+        smooth = isinstance(node, SmoothUnion)
+
+        def union_bound(p):
+            balls = [f(p[f"c{i}"]) for i, f in enumerate(fns)]
+            cx = sum(b[0] for b in balls) / n
+            cy = sum(b[1] for b in balls) / n
+            cz = sum(b[2] for b in balls) / n
+            r = balls[0][3] + jnp.sqrt(
+                (balls[0][0] - cx) ** 2 + (balls[0][1] - cy) ** 2
+                + (balls[0][2] - cz) ** 2
+            )
+            for bx, by, bz, br in balls[1:]:
+                r = jnp.maximum(
+                    r,
+                    br + jnp.sqrt(
+                        (bx - cx) ** 2 + (by - cy) ** 2 + (bz - cz) ** 2
+                    ),
+                )
+            if smooth:
+                k = p["blend_k"]
+                r = jnp.where(k > 0, r + math.log(n) / k, jnp.inf)
+            return cx, cy, cz, r
+
+        return union_bound
+    if isinstance(node, Rounding):
+        child = bounding_sphere_fn(node.child)
+        if child is None:
+            return None
+
+        def rounding_bound(p):
+            cx, cy, cz, r = child(p["child"])
+            return cx, cy, cz, r + p["rounding"]
+
+        return rounding_bound
+    if isinstance(node, Onion):
+        child = bounding_sphere_fn(node.child)
+        if child is None:
+            return None
+
+        def onion_bound(p):
+            cx, cy, cz, r = child(p["child"])
+            return cx, cy, cz, r + jnp.abs(p["radius"])
+
+        return onion_bound
+    return None  # Plane (unbounded) and custom nodes (NeuralSDF, ...)
+
+
+#: Union short-circuiting (RM_TPU_CSG_PRUNE=0 disables): children after the
+#: first whose subtree has >= RM_TPU_PRUNE_MIN_LEAVES leaves and a
+#: computable bounding sphere are evaluated under a lax.cond that skips the
+#: whole subtree when EVERY query point in the block is provably farther
+#: from it than the running prefix min (lb > d, strict) — then
+#: min(d, d_child) = d exactly, with no ties, so values, tie-routing and
+#: gradients match the unpruned form. ``prune=True`` is requested ONLY for
+#: SDFs that are traced into Pallas KERNEL BODIES (render/fast.py's
+#: mega-kernel + fused backward), where the block is one VMEM ray tile and
+#: the cond is a scalar branch with no collectives. It must NEVER be used
+#: for SDFs that run as plain XLA under shard_map/GSPMD: a shard-varying
+#: cond puts the transpose's replicated-param psum INSIDE a conditional —
+#: shards that skipped never join the all-reduce (measured on the CPU
+#: backend: garbage gradients, then a collective-rendezvous crash).
+def _prune_enabled() -> bool:
+    return os.environ.get("RM_TPU_CSG_PRUNE", "1") == "1"
+
+
+def _prune_min_leaves() -> int:
+    return int(os.environ.get("RM_TPU_PRUNE_MIN_LEAVES", "2"))
+
+
+def compile_node(node: Node, prune: bool = False) -> Callable:
+    """Compile a node tree into ``f(params, x, y, z) -> d`` (componentwise).
+
+    ``prune=True`` compiles unions with the bounding-sphere short-circuit
+    (kernel-body SDFs only — see the note above _prune_enabled).
+    """
     if type(node) in _PRIMITIVE_FNS:
         return _PRIMITIVE_FNS[type(node)]
     if isinstance(node, Affine):
-        child = compile_node(node.child)
+        child = compile_node(node.child, prune)
 
         def affine_fn(params, x, y, z):
             lx, ly, lz = ops.affine_inverse_query(
@@ -231,15 +396,75 @@ def compile_node(node: Node) -> Callable:
 
         return affine_fn
     if isinstance(node, Union):
-        children = [compile_node(c) for c in node.children]
+        children = [compile_node(c, prune) for c in node.children]
+        bounds: list = [None]  # the first child seeds the prefix min
+        if prune and _prune_enabled():
+            min_leaves = _prune_min_leaves()
+            bounds += [
+                bounding_sphere_fn(c)
+                if subtree_leaf_count(c) >= min_leaves else None
+                for c in node.children[1:]
+            ]
+        else:
+            bounds += [None] * (len(node.children) - 1)
 
-        def union_fn(params, x, y, z):
-            ds = [fn(params[f"c{i}"], x, y, z) for i, fn in enumerate(children)]
-            return ops.union(ds)
+        if not any(b is not None for b in bounds):
 
-        return union_fn
+            def union_fn(params, x, y, z):
+                ds = [
+                    fn(params[f"c{i}"], x, y, z)
+                    for i, fn in enumerate(children)
+                ]
+                return ops.union(ds)
+
+            return union_fn
+
+        from jax import lax
+
+        from ray_marching_tpu.utils import vmin
+
+        def union_pruned_fn(params, x, y, z):
+            d = children[0](params["c0"], x, y, z)
+            for i in range(1, len(children)):
+                fn = children[i]
+                pi = params[f"c{i}"]
+                if bounds[i] is None:
+                    d = vmin(d, fn(pi, x, y, z))
+                    continue
+                cx, cy, cz, radius = bounds[i](pi)
+                ex, ey, ez = x - cx, y - cy, z - cz
+                # 32-ulp shrink: the bound arithmetic (square-sum, sqrt,
+                # the R chain) rounds, and an over-estimated lb could skip
+                # a child that is genuinely the min by up to that error.
+                tol = 32 * jnp.finfo(jnp.result_type(x)).eps
+                lb = (
+                    jnp.sqrt(ex * ex + ey * ey + ez * ez) * (1.0 - tol)
+                    - radius
+                )
+                # Strict > makes the skip exact INCLUDING tie-routing:
+                # d_child >= lb > d everywhere means vmin(d, d_child) = d
+                # with no ties, so skipping contributes neither value nor
+                # cotangent — identical to evaluating (lax.cond
+                # differentiates the taken branch; the skip branch sends
+                # zero cotangent to the child, exactly like vmin's strict
+                # selection would). Residual effect of compiling the cond:
+                # XLA schedules/contracts the surrounding ops slightly
+                # differently than the uncond form (~1-ulp reassociation,
+                # measured 4e-14 at f64 on test_scene2) — far inside every
+                # parity tolerance in tests/.
+                d = lax.cond(
+                    jnp.all(lb > d),
+                    lambda d, x, y, z: d,
+                    lambda d, x, y, z, _fn=fn, _pi=pi: vmin(
+                        d, _fn(_pi, x, y, z)
+                    ),
+                    d, x, y, z,
+                )
+            return d
+
+        return union_pruned_fn
     if isinstance(node, SmoothUnion):
-        children = [compile_node(c) for c in node.children]
+        children = [compile_node(c, prune) for c in node.children]
 
         def smooth_union_fn(params, x, y, z):
             ds = [fn(params[f"c{i}"], x, y, z) for i, fn in enumerate(children)]
@@ -247,14 +472,14 @@ def compile_node(node: Node) -> Callable:
 
         return smooth_union_fn
     if isinstance(node, Rounding):
-        child = compile_node(node.child)
+        child = compile_node(node.child, prune)
 
         def rounding_fn(params, x, y, z):
             return ops.rounding(params["rounding"], child(params["child"], x, y, z))
 
         return rounding_fn
     if isinstance(node, Onion):
-        child = compile_node(node.child)
+        child = compile_node(node.child, prune)
 
         def onion_fn(params, x, y, z):
             return ops.onion(params["radius"], child(params["child"], x, y, z))

@@ -667,3 +667,50 @@ def test_tau_handoff_disabled_when_bwd_tile_spans_fwd_tiles(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(g1[k]), np.asarray(g2[k]), err_msg=k
         )
+
+
+@pytest.mark.slow
+def test_wide_union_32_leaves_matches_modular():
+    """WIDE scenes through the mega-kernel (the fuzzer only nests deep):
+    a 32-leaf hard union of transformed spheres — 32 coordinate-plane
+    register sets and a 32-segment flat params vector in one kernel —
+    renders and differentiates identically to the modular path
+    (tools/scene_width_sweep.py measures the on-chip compile/frame
+    scaling of the same construction at up to 128 leaves; 32 keeps the
+    interpret-mode CPU trace tractable for CI)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.scene_width_sweep import build_wide_scene
+
+    node = build_wide_scene(32, seed=7)
+    w, h = 48, 32
+    cfg = RenderConfig(
+        px_width=w, px_height=h,
+        focal_length=PX * h, sensor_width=PX * w, sensor_height=PX * h,
+        marching_steps=6,
+    )
+    r = Renderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64)
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True)
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float64)
+    t = jnp.asarray([[0.0, 0.0, 4.0]], jnp.float64)
+    a = np.asarray(r.render(r.init_params, q, t, mode=0, degree=1))
+    b = np.asarray(f.render(f.init_params, q, t, mode=0, degree=1))
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12, equal_nan=True)
+
+    rng = np.random.default_rng(1)
+    wts = jnp.asarray(rng.standard_normal((1, h, w, 3)))
+
+    def loss(render_fn, params):
+        return jnp.sum(render_fn(params, q, t, mode=0, degree=1) * wts)
+
+    g1 = param_paths(jax.grad(lambda p: loss(r.render, p))(r.init_params))
+    g2 = param_paths(jax.grad(lambda p: loss(f.render, p))(f.init_params))
+    assert set(g1) == set(g2) and len(g1) == 32 * 3  # radius+quat+trans
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-7, atol=1e-10,
+            err_msg=k,
+        )

@@ -140,9 +140,14 @@ def test_optimize_with_fast_renderer(setup):
     true_params = jax.tree.map(lambda x: x, f.init_params)
     true_params["c1"]["c0"]["radius"] = jnp.asarray(0.65, jnp.float32)
     target = f.render(true_params, q, t, mode=0, degree=1)
+    # lr 1e-2 / 400 steps CONVERGES (loss ~3e-9, radius error ~1e-4);
+    # the old lr 2e-2 / 120 oscillated on a ~9e-3 plateau whose iterate
+    # was ulp-sensitive — the round-5 kernel-side union pruning shifted
+    # f32 gradients by ~1e-6 relative and moved it across the threshold.
+    # Converged settings make the pin chaos-proof.
     out = optimize(
         f, target, q, t,
-        InverseConfig(learning_rate=2e-2, steps=120, mode=0, degree=1,
+        InverseConfig(learning_rate=1e-2, steps=400, mode=0, degree=1,
                       trainable=["c1/c0/radius"]),
     )
     assert abs(float(out["params"]["c1"]["c0"]["radius"]) - 0.65) < 0.03

@@ -98,6 +98,11 @@ def main():
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "componentwise", "matmul"],
                     help="NeuralSDF evaluator (auto: matmul at width>=64)")
+    ap.add_argument("--matmul-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="matmul OPERAND precision for the matmul "
+                         "evaluator (bfloat16: single-pass MXU dots, f32 "
+                         "accumulation — scene/neural.py)")
     args = ap.parse_args()
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -105,7 +110,8 @@ def main():
     target_scene = Union(children=(ROOM, TARGET_SHAPE))
     learn_scene = Union(
         children=(ROOM, NeuralSDF(hidden=(args.hidden, args.hidden), seed=11,
-                                  scale=0.5, w0=8.0, impl=args.impl))
+                                  scale=0.5, w0=8.0, impl=args.impl,
+                                  matmul_dtype=args.matmul_dtype))
     )
     # All views render as ONE multi-camera batch: a single pipeline per
     # shader mode in the jit graph keeps compile time sane.
