@@ -139,3 +139,57 @@ def test_union_gradient_routes_to_active_child():
     # Second sphere is closer (d = 1.0 < 2.5): all gradient goes to it.
     assert np.asarray(grads["c0"]["radius"]) == 0.0
     assert np.asarray(grads["c1"]["radius"]) == -1.0
+
+
+def test_union_pruning_compile():
+    """compile_node(prune=True): the kernel-body union short-circuit
+    (scene/graph.py round 5) — a lax.cond appears in the pruned jaxpr,
+    values and gradients match the plain compile, and the runtime
+    bounding sphere is a valid lower bound (d >= |p-c| - R everywhere,
+    sampled)."""
+    import jax
+
+    from ray_marching_tpu.scene import registry
+    from ray_marching_tpu.scene.graph import (
+        bounding_sphere_fn,
+        compile_node,
+        init_params,
+        subtree_leaf_count,
+    )
+
+    node = registry.make_scene("test_scene2")
+    assert subtree_leaf_count(node) == 4  # room box + sphere/torus/line
+    plain = compile_node(node)
+    pruned = compile_node(node, prune=True)
+    params = init_params(node, jnp.float64)
+
+    rng = np.random.default_rng(0)
+    x, y, z = (jnp.asarray(rng.uniform(-6, 6, (16, 128))) for _ in range(3))
+    jaxpr_plain = str(jax.make_jaxpr(plain)(params, x, y, z))
+    jaxpr_pruned = str(jax.make_jaxpr(pruned)(params, x, y, z))
+    assert "cond" not in jaxpr_plain
+    assert "cond" in jaxpr_pruned  # the interior-union skip compiled in
+
+    np.testing.assert_allclose(
+        np.asarray(plain(params, x, y, z)),
+        np.asarray(pruned(params, x, y, z)), rtol=1e-14, atol=1e-15,
+    )
+    g1 = jax.grad(lambda p: jnp.sum(plain(p, x, y, z)))(params)
+    g2 = jax.grad(lambda p: jnp.sum(pruned(p, x, y, z)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-14)
+
+    # Bound validity, sampled: interior subtree (child 1).
+    interior = node.children[1]
+    sdf_i = compile_node(interior)
+    params_i = params["c1"]
+    cx, cy, cz, R = bounding_sphere_fn(interior)(params_i)
+    px = rng.uniform(-8, 8, (50000, 3))
+    d = np.asarray(sdf_i(params_i, jnp.asarray(px[:, 0]),
+                         jnp.asarray(px[:, 1]), jnp.asarray(px[:, 2])))
+    lb = np.linalg.norm(
+        px - np.array([float(cx), float(cy), float(cz)]), axis=1
+    ) - float(R)
+    assert (d - lb).min() > -1e-9
