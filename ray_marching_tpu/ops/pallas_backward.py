@@ -116,9 +116,14 @@ def two_level_engages(steps, tau=0.0, track_min=False) -> bool:
     )
 
 
-def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
-                track_min, use_hist, n_mats,
+def _bwd_kernel(sdf_c, sdf_fwd, rebuild, steps, tau, normals_eps, offsets,
+                inverse, track_min, use_hist, n_mats,
                 params_ref, *all_refs):
+    """``sdf_fwd`` (possibly the union-pruned forward-only compile) is
+    used ONLY in the non-differentiated forward recompute below, so its
+    trajectories stay bitwise-identical to the forward kernel's whether
+    the history handoff engages or not; everything touched by jax.vjp
+    (tail, step_fn) uses the plain ``sdf_c``."""
     from ray_marching_tpu.ops.pallas_render import _normals_block
 
     mat_refs, all_refs = all_refs[:n_mats], all_refs[n_mats:]
@@ -174,7 +179,7 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
         hist_ref[i, 0] = x
         hist_ref[i, 1] = y
         hist_ref[i, 2] = z
-        d = sdf_c(params, x, y, z)
+        d = sdf_fwd(params, x, y, z)
         live = live_mask(d)
         out = (
             jnp.where(live, x + d * dx, x),
@@ -369,9 +374,11 @@ def _bwd_kernel(sdf_c, rebuild, steps, tau, normals_eps, offsets, inverse,
         ref[:] = gm[None]
 
 
-def _bwd_kernel_2l(sdf_c, rebuild, steps, normals_eps, offsets, inverse,
-                   n_mats, params_ref, *all_refs):
-    """Two-level-recompute variant of :func:`_bwd_kernel` (steps % K == 0)."""
+def _bwd_kernel_2l(sdf_c, sdf_fwd, rebuild, steps, normals_eps, offsets,
+                   inverse, n_mats, params_ref, *all_refs):
+    """Two-level-recompute variant of :func:`_bwd_kernel` (steps % K == 0).
+    Same sdf split: ``sdf_fwd`` for the non-differentiated segment
+    recomputes, plain ``sdf_c`` under jax.vjp."""
     from ray_marching_tpu.ops.pallas_render import _normals_block
 
     mat_refs, all_refs = all_refs[:n_mats], all_refs[n_mats:]
@@ -392,7 +399,7 @@ def _bwd_kernel_2l(sdf_c, rebuild, steps, normals_eps, offsets, inverse,
 
     def advance(carry):
         x, y, z = carry
-        d = sdf_c(params, x, y, z)
+        d = sdf_fwd(params, x, y, z)
         return (
             jnp.where(valid, x + d * dx, x),
             jnp.where(valid, y + d * dy, y),
@@ -497,6 +504,12 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
     """Backward of fused_march_normals.
 
     Args:
+        sdf_c: a componentwise SDF, or a ``(plain, forward-only)`` pair
+            (ops/pallas_render._split_sdf): the forward member runs the
+            in-kernel position recompute (keeping trajectories bitwise
+            equal to the pruned forward kernel whether the history
+            handoff engages or not); the plain member is what jax.vjp
+            differentiates.
         g8: (8, rows, 128) cotangents for (x y z d nx ny nz lap) — or
             (9, rows, 128) with the coverage plane min_f appended when
             ``track_min`` (fused_march_normals_cov); its cotangent is
@@ -525,7 +538,9 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
         mat_in_specs,
         matmul_width,
     )
+    from ray_marching_tpu.ops.pallas_render import _split_sdf
 
+    sdf_c, sdf_fwd = _split_sdf(sdf_c)
     rows = rays7.shape[1]
     dtype = rays7.dtype
     p = flat_params.shape[0]
@@ -548,8 +563,8 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
     if two_level:
         tile = min(BWD_ROWS_PER_TILE_2L, rows)
         kernel = functools.partial(
-            _bwd_kernel_2l, sdf_c, rebuild, steps, normals_eps, offsets,
-            inverse, len(mats),
+            _bwd_kernel_2l, sdf_c, sdf_fwd, rebuild, steps, normals_eps,
+            offsets, inverse, len(mats),
         )
         scratch = [
             pltpu.VMEM((steps // k, 3, tile, LANES), dtype),  # checkpoints
@@ -603,8 +618,8 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
             if fwd_tile % tile != 0:
                 use_hist = False
         kernel = functools.partial(
-            _bwd_kernel, sdf_c, rebuild, steps, tau, normals_eps, offsets,
-            inverse, track_min, use_hist, len(mats),
+            _bwd_kernel, sdf_c, sdf_fwd, rebuild, steps, tau, normals_eps,
+            offsets, inverse, track_min, use_hist, len(mats),
         )
         scratch = [] if use_hist else [
             pltpu.VMEM((steps, 3, tile, LANES), dtype)

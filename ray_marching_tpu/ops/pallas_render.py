@@ -386,19 +386,36 @@ def _call_render_kernel(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
     return out
 
 
+def _split_sdf(sdf):
+    """Normalize the sdf argument of the fused entry points to a
+    ``(sdf_plain, sdf_fwd)`` pair.
+
+    Callers may pass a single componentwise callable (used everywhere) or
+    a 2-tuple: ``sdf_fwd`` — possibly the union-pruned FORWARD-ONLY
+    compile (scene/graph.py compile_node(prune=True); contains 0/1-trip
+    while-conditionals with no autodiff rule) — traces only into the
+    non-differentiated forward kernels; ``sdf_plain`` is used wherever
+    autodiff touches the SDF (the fused backward kernel, the IFT jnp
+    math, recompute references)."""
+    if isinstance(sdf, tuple):
+        return sdf
+    return sdf, sdf
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6, 7, 8))
 def fused_march_normals(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
                         normals_eps, interpret):
     """rays7 (7, rows, 128) → (8, rows, 128): x y z d nx ny nz lap.
 
-    ``flat_params``/``mats``/``rebuild`` come from
+    ``sdf_c``: a componentwise SDF, or a ``(plain, forward-only)`` pair —
+    see :func:`_split_sdf`. ``flat_params``/``mats``/``rebuild`` come from
     :func:`ops.pallas_march.split_params_padded` — matrix leaves (neural
     SDF weights) enter the kernel as native 2-D VMEM inputs so the MXU
     matmul evaluator can consume them (Mosaic cannot rebuild matrices from
     the flat lane vector)."""
     return _call_render_kernel(
-        sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
-        interpret, False,
+        _split_sdf(sdf_c)[1], rebuild, flat_params, mats, rays7, steps,
+        tau, normals_eps, interpret, False,
     )
 
 
@@ -412,8 +429,8 @@ def fused_march_normals_cov(sdf_c, rebuild, flat_params, mats, rays7, steps,
     its backward routes the cotangent to the arg-min march step inside the
     fused backward kernel."""
     return _call_render_kernel(
-        sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
-        interpret, True,
+        _split_sdf(sdf_c)[1], rebuild, flat_params, mats, rays7, steps,
+        tau, normals_eps, interpret, True,
     )
 
 
@@ -524,8 +541,8 @@ def _fwd(sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
          interpret):
     if _hist_enabled(rays7, steps, tau, mats=mats):
         out, hist, _, _, nact = _call_render_kernel(
-            sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
-            interpret, False, log_hist=True,
+            _split_sdf(sdf_c)[1], rebuild, flat_params, mats, rays7, steps,
+            tau, normals_eps, interpret, False, log_hist=True,
         )
     else:
         out, hist, nact = (
@@ -544,8 +561,8 @@ def _bwd(sdf_c, rebuild, steps, tau, normals_eps, interpret, residuals, g):
     from ray_marching_tpu.ops.pallas_backward import fused_backward
 
     return fused_backward(
-        sdf_c, rebuild, flat_params, mats, rays7, g, steps, normals_eps,
-        interpret, tau=tau, hist=hist, nact=nact,
+        sdf_c, rebuild, flat_params, mats, rays7, g, steps,
+        normals_eps, interpret, tau=tau, hist=hist, nact=nact,
     )
 
 
@@ -556,8 +573,8 @@ def _fwd_cov(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
              normals_eps, interpret):
     if _hist_enabled(rays7, steps, tau, track_min=True, mats=mats):
         out, hist, amin, _, _ = _call_render_kernel(
-            sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
-            interpret, True, log_hist=True,
+            _split_sdf(sdf_c)[1], rebuild, flat_params, mats, rays7, steps,
+            tau, normals_eps, interpret, True, log_hist=True,
         )
     else:
         out, hist, amin = (
@@ -578,8 +595,9 @@ def _bwd_cov(sdf_c, rebuild, steps, tau, normals_eps, interpret, residuals,
     from ray_marching_tpu.ops.pallas_backward import fused_backward
 
     return fused_backward(
-        sdf_c, rebuild, flat_params, mats, rays7, g, steps, normals_eps,
-        interpret, track_min=True, tau=tau, hist=hist, amin=amin, minf=minf,
+        sdf_c, rebuild, flat_params, mats, rays7, g, steps,
+        normals_eps, interpret, track_min=True, tau=tau, hist=hist,
+        amin=amin, minf=minf,
     )
 
 
@@ -634,6 +652,7 @@ def _ift_fwd(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
 
 def _ift_bwd(sdf_c, rebuild, steps, tau, normals_eps, interpret,
              hit_threshold, denom_eps, residuals, g):
+    sdf_c = _split_sdf(sdf_c)[0]  # jnp autodiff below: plain SDF only
     flat_params, mats, rays7, out = residuals
     x, y, z = out[0], out[1], out[2]
     d_star = out[3]
@@ -705,14 +724,15 @@ def fused_march_normals_cov_ift(sdf_c, rebuild, flat_params, mats, rays7,
 def _cov_ift_fwd(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
                  normals_eps, interpret, hit_threshold, denom_eps):
     out, _, _, argpos, _ = _call_render_kernel(
-        sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
-        interpret, True, track_argpos=True,
+        _split_sdf(sdf_c)[1], rebuild, flat_params, mats, rays7, steps,
+        tau, normals_eps, interpret, True, track_argpos=True,
     )
     return out, (flat_params, mats, rays7, out, argpos)
 
 
 def _cov_ift_bwd(sdf_c, rebuild, steps, tau, normals_eps, interpret,
                  hit_threshold, denom_eps, residuals, g):
+    sdf_c = _split_sdf(sdf_c)[0]  # jnp autodiff below: plain SDF only
     flat_params, mats, rays7, out, argpos = residuals
     # Endpoint planes: identical routing to _ift_bwd (it reads g[0..7]).
     gtheta, gmats, rays7_cot = _ift_bwd(

@@ -166,15 +166,15 @@ class FastRenderer:
         self.scene = scene
         self.sdf_vec, self.sdf_c, self.init_params = compile_scene(scene, dtype)
         # Kernel-body-only SDF with union bounding-sphere short-circuiting
-        # (scene/graph.py compile_node(prune=True)): inside the Mosaic
-        # mega-kernel the lax.cond is a scalar per-tile branch that skips
-        # whole CSG subtrees when the tile is provably beyond them. NEVER
-        # use this variant on a plain-XLA path that may run under
-        # shard_map/GSPMD — see the shard-varying-cond hazard note in
-        # scene/graph.py.
-        from ray_marching_tpu.scene.graph import compile_node
+        # (scene/graph.py compile_node(prune=True)): a per-tile 0/1-trip
+        # while skips whole CSG subtrees when the tile is provably beyond
+        # them. OPT-IN (RM_TPU_CSG_PRUNE=1): measured NEGATIVE at 1080p on
+        # v5e — the Mosaic conditional overhead exceeds the skipped work;
+        # see the note above graph._prune_enabled. Forward-only and
+        # kernel-body-only by contract (never under shard_map XLA).
+        from ray_marching_tpu.scene.graph import _prune_enabled, compile_node
 
-        self.sdf_c_kernel = compile_node(scene, prune=True)
+        self.sdf_c_kernel = compile_node(scene, prune=_prune_enabled())
         self.cyclic_cmap = shaders.load_cyclic_cmap(dtype)
         self.cmap_coeffs = (
             shaders.fourier_cmap_coeffs() if config.cmap_fourier else None
@@ -459,16 +459,16 @@ class FastRenderer:
         else:
             march = plain
 
-        # The pruned SDF is legal only where sdf_c is traced exclusively
-        # into Pallas kernel bodies: the plain/cov fused paths (forward
-        # mega-kernel + fully-fused backward kernel). The IFT variants
-        # differentiate sdf_c in plain jnp in their backward, and the XLA
-        # paths run it under possibly-sharded XLA — both keep the
-        # unpruned form (shard-varying lax.cond breaks the shard_map
-        # transpose; scene/graph.py).
+        # Fused paths take a (plain, forward-only-pruned) SDF pair: the
+        # pruned compile traces ONLY into the non-differentiated forward
+        # kernels; every autodiff consumer (fused backward kernel, IFT
+        # jnp math) uses the plain member (ops/pallas_render._split_sdf;
+        # the pruned form's while-conditional has no autodiff rule). The
+        # XLA paths run the SDF under possibly-sharded XLA and keep the
+        # plain form outright (scene/graph.py hazard note).
         sdf_for_march = (
-            self.sdf_c_kernel
-            if (self.march_impl != "xla" and cfg.backward != "implicit")
+            (self.sdf_c, self.sdf_c_kernel)
+            if self.march_impl != "xla"
             else self.sdf_c
         )
 

@@ -360,17 +360,32 @@ def bounding_sphere_fn(node: Node) -> Optional[Callable]:
 #: computable bounding sphere are evaluated under a lax.cond that skips the
 #: whole subtree when EVERY query point in the block is provably farther
 #: from it than the running prefix min (lb > d, strict) — then
-#: min(d, d_child) = d exactly, with no ties, so values, tie-routing and
-#: gradients match the unpruned form. ``prune=True`` is requested ONLY for
-#: SDFs that are traced into Pallas KERNEL BODIES (render/fast.py's
-#: mega-kernel + fused backward), where the block is one VMEM ray tile and
-#: the cond is a scalar branch with no collectives. It must NEVER be used
-#: for SDFs that run as plain XLA under shard_map/GSPMD: a shard-varying
-#: cond puts the transpose's replicated-param psum INSIDE a conditional —
-#: shards that skipped never join the all-reduce (measured on the CPU
-#: backend: garbage gradients, then a collective-rendezvous crash).
+#: min(d, d_child) = d exactly, with no ties, so values match the unpruned
+#: form. ``prune=True`` output is FORWARD-ONLY (the conditional is a
+#: 0/1-trip while_loop — no autodiff rule) and is requested ONLY for SDFs
+#: traced into NON-DIFFERENTIATED Pallas forward-kernel bodies
+#: (render/fast.py's mega-kernel behind its custom_vjp), where the skip is
+#: a scalar per-ray-tile branch with no collectives. Two hazards keep it
+#: out of everything else: (a) lax.cond would be differentiable but Mosaic
+#: cannot legalize vector-result scf.if (probed v5e); (b) a shard-varying
+#: conditional on a plain-XLA path under shard_map puts the transpose's
+#: replicated-param psum INSIDE the conditional — shards that skipped
+#: never join the all-reduce (measured on CPU: garbage gradients, then a
+#: collective-rendezvous crash).
+#:
+#: DEFAULT OFF — measured NEGATIVE on v5e (round 5, 1080p test_scene2,
+#: bench.py A/B): pruned forward 517 M rays/s vs 990 M unpruned, fwd+bwd
+#: 210 M vs 258 M. The skip itself is sound and fires, but Mosaic's only
+#: legal conditional (a 0/1-trip while) costs ~200 ns per instance and
+#: defeats cross-step software pipelining: ~37 conditionals per tile per
+#: frame (32 march steps + 5 normals evals) × ~253 tiles ≈ 1.9 ms of
+#: overhead against a 2.1 ms all-eval forward that already runs at the
+#: elementwise roofline. A whole-march per-tile specialization (reduced
+#: scene for tiles whose ray lines miss the subtree) is NOT a sound
+#: alternative: it changes step sizes for grazing rays — different
+#: trajectories than the reference's unconditional full-min march.
 def _prune_enabled() -> bool:
-    return os.environ.get("RM_TPU_CSG_PRUNE", "1") == "1"
+    return os.environ.get("RM_TPU_CSG_PRUNE", "0") == "1"
 
 
 def _prune_min_leaves() -> int:
@@ -380,8 +395,9 @@ def _prune_min_leaves() -> int:
 def compile_node(node: Node, prune: bool = False) -> Callable:
     """Compile a node tree into ``f(params, x, y, z) -> d`` (componentwise).
 
-    ``prune=True`` compiles unions with the bounding-sphere short-circuit
-    (kernel-body SDFs only — see the note above _prune_enabled).
+    ``prune=True`` compiles unions with the bounding-sphere short-circuit;
+    the result is FORWARD-ONLY and for non-differentiated kernel bodies
+    only — see the note above _prune_enabled.
     """
     if type(node) in _PRIMITIVE_FNS:
         return _PRIMITIVE_FNS[type(node)]
@@ -398,7 +414,7 @@ def compile_node(node: Node, prune: bool = False) -> Callable:
     if isinstance(node, Union):
         children = [compile_node(c, prune) for c in node.children]
         bounds: list = [None]  # the first child seeds the prefix min
-        if prune and _prune_enabled():
+        if prune:
             min_leaves = _prune_min_leaves()
             bounds += [
                 bounding_sphere_fn(c)
@@ -443,23 +459,27 @@ def compile_node(node: Node, prune: bool = False) -> Callable:
                 )
                 # Strict > makes the skip exact INCLUDING tie-routing:
                 # d_child >= lb > d everywhere means vmin(d, d_child) = d
-                # with no ties, so skipping contributes neither value nor
-                # cotangent — identical to evaluating (lax.cond
-                # differentiates the taken branch; the skip branch sends
-                # zero cotangent to the child, exactly like vmin's strict
-                # selection would). Residual effect of compiling the cond:
-                # XLA schedules/contracts the surrounding ops slightly
-                # differently than the uncond form (~1-ulp reassociation,
-                # measured 4e-14 at f64 on test_scene2) — far inside every
-                # parity tolerance in tests/.
-                d = lax.cond(
-                    jnp.all(lb > d),
-                    lambda d, x, y, z: d,
-                    lambda d, x, y, z, _fn=fn, _pi=pi: vmin(
-                        d, _fn(_pi, x, y, z)
-                    ),
-                    d, x, y, z,
-                )
+                # with no ties — skipping contributes nothing.
+                #
+                # The conditional is a 0/1-trip lax.while_loop, NOT
+                # lax.cond: Mosaic cannot legalize vector-result scf.if
+                # ("failed to legalize operation 'scf.if'", probed on
+                # v5e round 5) but lowers while loops with plane carries
+                # (the tau early-exit march relies on that). The price:
+                # while_loop has no JVP/VJP rule, so THIS FUNCTION IS
+                # FORWARD-ONLY — it must never be differentiated. The
+                # fused render paths honor that by tracing it only into
+                # the custom_vjp'd forward kernels; every autodiff
+                # consumer (the fused backward kernel, IFT jnp math, XLA
+                # recomputes) gets the plain compile.
+                need = jnp.logical_not(jnp.all(lb > d))
+
+                def body(st, _fn=fn, _pi=pi, _x=x, _y=y, _z=z):
+                    return jnp.bool_(False), vmin(
+                        st[1], _fn(_pi, _x, _y, _z)
+                    )
+
+                _, d = lax.while_loop(lambda st: st[0], body, (need, d))
             return d
 
         return union_pruned_fn

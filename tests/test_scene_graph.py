@@ -143,10 +143,13 @@ def test_union_gradient_routes_to_active_child():
 
 def test_union_pruning_compile():
     """compile_node(prune=True): the kernel-body union short-circuit
-    (scene/graph.py round 5) — a lax.cond appears in the pruned jaxpr,
-    values and gradients match the plain compile, and the runtime
-    bounding sphere is a valid lower bound (d >= |p-c| - R everywhere,
-    sampled)."""
+    (scene/graph.py round 5) — a 0/1-trip while-conditional appears in
+    the pruned jaxpr (lax.cond is NOT used: Mosaic cannot legalize
+    vector scf.if), values match the plain compile exactly, and the
+    runtime bounding sphere is a valid lower bound (d >= |p-c| - R
+    everywhere, sampled). The pruned form is FORWARD-ONLY by contract —
+    no gradient comparison here; autodiff consumers get the plain
+    compile (render/fast.py sdf pair)."""
     import jax
 
     from ray_marching_tpu.scene import registry
@@ -167,19 +170,15 @@ def test_union_pruning_compile():
     x, y, z = (jnp.asarray(rng.uniform(-6, 6, (16, 128))) for _ in range(3))
     jaxpr_plain = str(jax.make_jaxpr(plain)(params, x, y, z))
     jaxpr_pruned = str(jax.make_jaxpr(pruned)(params, x, y, z))
-    assert "cond" not in jaxpr_plain
-    assert "cond" in jaxpr_pruned  # the interior-union skip compiled in
+    assert "while" not in jaxpr_plain
+    assert "while" in jaxpr_pruned  # the interior-union skip compiled in
+    # No cond PRIMITIVE (the "cond_jaxpr" of while mentions the word):
+    assert "cond[" not in jaxpr_pruned  # Mosaic cannot lower vector scf.if
 
     np.testing.assert_allclose(
         np.asarray(plain(params, x, y, z)),
         np.asarray(pruned(params, x, y, z)), rtol=1e-14, atol=1e-15,
     )
-    g1 = jax.grad(lambda p: jnp.sum(plain(p, x, y, z)))(params)
-    g2 = jax.grad(lambda p: jnp.sum(pruned(p, x, y, z)))(params)
-    for a, b in zip(jax.tree_util.tree_leaves(g1),
-                    jax.tree_util.tree_leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-12, atol=1e-14)
 
     # Bound validity, sampled: interior subtree (child 1).
     interior = node.children[1]
