@@ -600,7 +600,15 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
             DEFAULT_ROWS_PER_TILE as _FWD_TILE_DEFAULT,
         )
 
-        fwd_tile = _tile_rows(rows, width, default=_FWD_TILE_DEFAULT)
+        # Wide analytic scenes: the reverse sweep's VJP holds ~3x the
+        # forward's live plane set (recompute + dH per child), so shrink
+        # the ray tile once the packed param vector says the scene is
+        # wide (same proxy as the forward's _tile_rows segs cap).
+        segs = p // LANES
+        if segs > 128:
+            tile = min(tile, 16)
+        fwd_tile = _tile_rows(rows, width, default=_FWD_TILE_DEFAULT,
+                              segs=segs)
         fwd_rows = rows + (-rows % fwd_tile)
         if use_hist and hist.shape[2] != fwd_rows:
             # History from a forward whose tiling this kernel cannot
@@ -693,6 +701,13 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
     vmem_limit = BWD_VMEM_LIMIT_BYTES
     if mats and vmem_limit is not None:
         vmem_limit = max(vmem_limit, NEURAL_VMEM_LIMIT_BYTES)
+    if vmem_limit is not None:
+        from ray_marching_tpu.ops.pallas_march import wide_vmem_bytes
+
+        # Wide analytic scenes (see wide_vmem_bytes): the VJP roughly
+        # triples the forward's live set, but the shrunken tile (above)
+        # compensates; grant the same scaled budget.
+        vmem_limit = max(vmem_limit, wide_vmem_bytes(p))
     outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),

@@ -253,7 +253,9 @@ def _pallas_march_flat(sdf_c, rebuild, steps, tau, rows_per_tile, interpret,
         out_specs=[plane_spec] * 4,
         out_shape=[out_shape] * 4,
         interpret=interpret,
-        compiler_params=neural_compiler_params(mats, interpret),
+        compiler_params=neural_compiler_params(
+            mats, interpret, flat_len=flat_params.shape[1]
+        ),
     )(flat_params, *mats, *planes)
 
 
@@ -267,7 +269,8 @@ def _pallas_march_core(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
     planes = [rays7[i] for i in range(7)]
     outs = _pallas_march_flat(
         sdf_c, rebuild, steps, tau,
-        _tile_rows(rays7.shape[1], matmul_width(mats)), interpret,
+        _tile_rows(rays7.shape[1], matmul_width(mats),
+                   segs=flat_params.shape[0] // LANES), interpret,
         flat_params[None, :], mats, planes,
     )
     return jnp.stack(outs, axis=0)
@@ -282,7 +285,30 @@ NEURAL_VMEM_LIMIT_BYTES = 100 * 2**20
 NEURAL_TILE_WIDTH_CAP = 128
 
 
-def _tile_rows(rows: int, width: int = 0, default: int | None = None) -> int:
+#: WIDE analytic scenes (many union leaves) scale the kernels' live plane
+#: set with leaf count: each leaf's transformed-coordinate planes and the
+#: vmin chain stay resident per tile. Measured on v5e (round 5,
+#: tools/scene_width_sweep.py): 32 leaves (96 lane-segments) fit the
+#: 16 MiB default scoped-VMEM budget; 64 leaves (192 segments) need
+#: 25.09 MiB at tile 64 ("Ran out of memory in memory space vmem ...
+#: scoped"). The budget grows ~256 KiB per 128-lane param segment, capped
+#: below physical VMEM; very wide scenes additionally shrink the ray tile.
+WIDE_VMEM_PER_SEG = 256 * 1024
+WIDE_VMEM_CAP = 100 * 2**20
+WIDE_SEGS_TILE32 = 256
+WIDE_SEGS_TILE16 = 512
+
+
+def wide_vmem_bytes(flat_len: int) -> int:
+    """Scoped-VMEM need estimate for a scene with ``flat_len`` packed
+    param lanes (0 = within the 16 MiB default)."""
+    segs = flat_len // LANES
+    want = segs * WIDE_VMEM_PER_SEG
+    return min(WIDE_VMEM_CAP, want) if want > 16 * 2**20 else 0
+
+
+def _tile_rows(rows: int, width: int = 0, default: int | None = None,
+               segs: int = 0) -> int:
     """Ray-tile row count for a kernel call. ``default`` is the caller's
     analytic-scene tile (each kernel has its own measured winner — see
     the sweep notes on pallas_render.DEFAULT_ROWS_PER_TILE and this
@@ -295,21 +321,29 @@ def _tile_rows(rows: int, width: int = 0, default: int | None = None) -> int:
     tile = min(DEFAULT_ROWS_PER_TILE if default is None else default, rows)
     if width > NEURAL_TILE_WIDTH_CAP:
         tile = min(tile, 64)
+    if segs > WIDE_SEGS_TILE16:
+        tile = min(tile, 16)
+    elif segs > WIDE_SEGS_TILE32:
+        tile = min(tile, 32)
     env = os.environ.get("RM_TPU_NEURAL_TILE")
     if env and width:
         tile = min(int(env), rows)
     return tile
 
 
-def neural_compiler_params(mats, interpret, base_bytes=None):
-    """CompilerParams for a kernel whose scene has matrix leaves (raised
-    scoped-VMEM budget); ``base_bytes`` keeps a caller's existing raised
-    budget when it is already higher."""
+def neural_compiler_params(mats, interpret, base_bytes=None, flat_len=0):
+    """CompilerParams for kernels needing a raised scoped-VMEM budget:
+    matrix-leaf (neural) scenes, wide analytic scenes (``flat_len``
+    packed param lanes — see wide_vmem_bytes), or a caller's own
+    ``base_bytes`` (e.g. the history-logging forward); the max wins."""
     if interpret:
         return None
     want = NEURAL_VMEM_LIMIT_BYTES if mats else None
     if base_bytes is not None:
         want = max(want or 0, base_bytes)
+    wide = wide_vmem_bytes(flat_len)
+    if wide:
+        want = max(want or 0, wide)
     if not want:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=want)

@@ -292,7 +292,8 @@ def _call_render_kernel(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
     # silently disabling the march-history handoff (fused_backward checks
     # hist.shape[2]).
     rows_per_tile = _tile_rows(rows, matmul_width(mats),
-                               default=DEFAULT_ROWS_PER_TILE)
+                               default=DEFAULT_ROWS_PER_TILE,
+                               segs=flat_params.shape[0] // LANES)
     # Rows may not divide the tile (e.g. multi-camera stacks of 8-row-padded
     # blocks): pad by edge-replicating real rays (zero padding would park
     # the pad rays exactly at the world origin — a gradient singularity for
@@ -364,7 +365,8 @@ def _call_render_kernel(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
         # busts the 16 MiB default scoped-VMEM budget at 32 steps; matrix
         # (neural) scenes raise it further for the MXU hidden blocks.
         compiler_params=neural_compiler_params(
-            mats, interpret, base_bytes=64 * 2**20 if log_hist else None
+            mats, interpret, base_bytes=64 * 2**20 if log_hist else None,
+            flat_len=flat_params.shape[0],
         ),
     )(flat_params[None, :], *mats, *[rays7[i] for i in range(7)])
     hist = amin = argpos = nact = None
@@ -502,7 +504,8 @@ def _reference_fn(sdf_c, rebuild, steps, tau, normals_eps, flat_params, mats,
     return out
 
 
-def _hist_enabled(rays7, steps, tau, track_min=False, mats=()):
+def _hist_enabled(rays7, steps, tau, track_min=False, mats=(),
+                  flat_len=0):
     """Whether the differentiated forward should log its march history for
     the backward kernel (skips the backward's in-kernel forward recompute;
     bitwise-identical gradients). For tau > 0 the early-exit forward logs
@@ -531,7 +534,8 @@ def _hist_enabled(rays7, steps, tau, track_min=False, mats=()):
     from ray_marching_tpu.ops.pallas_march import _tile_rows, matmul_width
 
     rows_per_tile = _tile_rows(rays7.shape[1], matmul_width(mats),
-                               default=DEFAULT_ROWS_PER_TILE)
+                               default=DEFAULT_ROWS_PER_TILE,
+                               segs=flat_len // LANES)
     rows_padded = rays7.shape[1] + (-rays7.shape[1] % rows_per_tile)
     bytes_ = (steps + 1) * 3 * rows_padded * LANES * rays7.dtype.itemsize
     return bytes_ <= cap
@@ -539,7 +543,8 @@ def _hist_enabled(rays7, steps, tau, track_min=False, mats=()):
 
 def _fwd(sdf_c, rebuild, flat_params, mats, rays7, steps, tau, normals_eps,
          interpret):
-    if _hist_enabled(rays7, steps, tau, mats=mats):
+    if _hist_enabled(rays7, steps, tau, mats=mats,
+                     flat_len=flat_params.shape[0]):
         out, hist, _, _, nact = _call_render_kernel(
             _split_sdf(sdf_c)[1], rebuild, flat_params, mats, rays7, steps,
             tau, normals_eps, interpret, False, log_hist=True,
@@ -571,7 +576,8 @@ fused_march_normals.defvjp(_fwd, _bwd)
 
 def _fwd_cov(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
              normals_eps, interpret):
-    if _hist_enabled(rays7, steps, tau, track_min=True, mats=mats):
+    if _hist_enabled(rays7, steps, tau, track_min=True, mats=mats,
+                     flat_len=flat_params.shape[0]):
         out, hist, amin, _, _ = _call_render_kernel(
             _split_sdf(sdf_c)[1], rebuild, flat_params, mats, rays7, steps,
             tau, normals_eps, interpret, True, log_hist=True,

@@ -202,3 +202,22 @@ def test_pad_slot_gradients_not_poisoned_by_origin_singularity():
         # rotation-invariant orientation leaf (true gradient exactly 0).
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-8)
+
+
+def test_wide_scene_vmem_scaling():
+    """Width-scaled kernel knobs (round 5): wide analytic scenes raise the
+    scoped-VMEM budget ~256 KiB per 128-lane param segment (64 leaves =
+    192 segments OOM'd the 16 MiB default at 25.09 MiB on v5e) and shrink
+    ray tiles past 256/512 segments; small scenes are untouched."""
+    from ray_marching_tpu.ops.pallas_march import (
+        _tile_rows,
+        wide_vmem_bytes,
+    )
+
+    assert wide_vmem_bytes(128) == 0          # tiny scene: default budget
+    assert wide_vmem_bytes(64 * 128) == 0     # 64 segments: still default
+    assert wide_vmem_bytes(192 * 128) == 192 * 256 * 1024  # 64 leaves
+    assert wide_vmem_bytes(10**6) == 100 * 2**20           # capped
+    assert _tile_rows(16200, segs=192) == 64  # 64-leaf fwd tile unchanged
+    assert _tile_rows(16200, segs=384) == 32  # 128 leaves
+    assert _tile_rows(16200, segs=600) == 16
