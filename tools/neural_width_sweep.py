@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialized backward (modular only; wide "
                          "MLPs cannot store per-step activations)")
+    ap.add_argument("--activation", default="sine",
+                    help="NeuralSDF activation (sine | sine_fast | "
+                         "softplus | tanh)")
     ap.add_argument("--march-impl", default="auto",
                     choices=["auto", "fused", "xla"],
                     help="fast renderer march implementation (auto routes "
@@ -103,10 +106,12 @@ def main():
             kw = {"impl": "matmul", "matmul_dtype": "bfloat16"}
         else:
             kw = {"impl": impl}
-        node = NeuralSDF(hidden=(width, width), seed=3, **kw)
+        node = NeuralSDF(hidden=(width, width), seed=3,
+                         activation=args.activation, **kw)
         r = (FastRenderer(node, cfg, march_impl=args.march_impl)
              if args.renderer == "fast" else Renderer(node, cfg))
-        row = {"width": width, "impl": impl, "px": args.px,
+        row = {"width": width, "impl": impl, "activation": args.activation,
+               "px": args.px,
                "steps": args.steps, "renderer": args.renderer,
                "remat": args.remat,
                "march_impl": getattr(r, "march_impl", None)}
