@@ -580,8 +580,12 @@ def fused_backward(sdf_c, rebuild, flat_params, mats, rays7, g8, steps,
             # (width 64 → 32 rows ≈ 72 MB; width 256 → 8 rows).
             import os
 
+            # Divisor retuned round 5 (was 2048//width): the w64 sweep
+            # tied tiles 16 and 32, and sine_fast's extra VJP residuals
+            # overflowed the 102M scoped budget at 32 — 1024//width keeps
+            # w64 at the tied-fast 16 with ~half the live set.
             ntile = int(os.environ.get(
-                "RM_TPU_NEURAL_BWD_TILE", str(max(8, 2048 // width))
+                "RM_TPU_NEURAL_BWD_TILE", str(max(8, 1024 // width))
             ))
             tile = min(tile, max(8, ntile))
         # Align this kernel's tiling with the FORWARD kernel's padded row

@@ -61,6 +61,28 @@ ROWS_PER_TILE = 256
 #: train step above a 2–5% forward edge; forward-only wide serving
 #: should pass march_impl='xla' (or serve an exported .rmx).
 NEURAL_MARCH_FUSED_MIN_WIDTH = 64
+#: With CHEAP activations (sine_fast/softplus/tanh) the transcendental no
+#: longer pads XLA's schedule and XLA training stays ahead longer —
+#: sine_fast round-5 sweep: train w64 16.1 (xla) vs 19.1 (fused), w128
+#: 38.3 vs 21.6, w256 85.7 vs 48.6 — so the fused switch moves to 128
+#: when no matmul NeuralSDF uses the exact-jnp 'sine' activation.
+NEURAL_MARCH_FUSED_MIN_WIDTH_CHEAP_ACT = 128
+
+
+def scene_has_exact_sine(node) -> bool:
+    """True when any matmul-resolving NeuralSDF uses activation='sine'
+    (the slow jnp.sin lowering — the 'auto' dispatch threshold family)."""
+    from ray_marching_tpu.scene.neural import NeuralSDF, resolve_impl
+
+    if (isinstance(node, NeuralSDF) and resolve_impl(node) == "matmul"
+            and node.activation == "sine"):
+        return True
+    child = getattr(node, "child", None)
+    if child is not None and scene_has_exact_sine(child):
+        return True
+    return any(
+        scene_has_exact_sine(c) for c in getattr(node, "children", ())
+    )
 
 
 def scene_contains_matmul_neural(node) -> bool:
@@ -154,8 +176,12 @@ class FastRenderer:
             # Every number behind this dispatch: docs/PERFORMANCE.md
             # "XLA vs fused march" (round 4).
             if scene_contains_matmul_neural(scene):
-                wide = (max_matmul_neural_width(scene)
-                        >= NEURAL_MARCH_FUSED_MIN_WIDTH)
+                threshold = (
+                    NEURAL_MARCH_FUSED_MIN_WIDTH
+                    if scene_has_exact_sine(scene)
+                    else NEURAL_MARCH_FUSED_MIN_WIDTH_CHEAP_ACT
+                )
+                wide = max_matmul_neural_width(scene) >= threshold
                 march_impl = "fused" if wide else "xla"
             else:
                 march_impl = "fused"

@@ -37,6 +37,7 @@ import math
 from dataclasses import dataclass
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +57,16 @@ _SIN_COEFFS = (
 )
 
 
+def _reduce_poly(x):
+    r = x - jnp.round(x * (1.0 / _TWO_PI)) * _TWO_PI
+    r2 = r * r
+    p = jnp.asarray(_SIN_COEFFS[-1], x.dtype)
+    for c in _SIN_COEFFS[-2::-1]:
+        p = p * r2 + c
+    return r, r2, p
+
+
+@jax.custom_jvp
 def sin_fast(x):
     """Polynomial sine: ~10 VPU ops instead of ``jnp.sin``'s conservative
     multi-branch lowering.
@@ -65,17 +76,29 @@ def sin_fast(x):
     transcendental, not the MXU, sets the pace of SIREN fields. This
     range-reduces to [-π, π] (one round + fnma; exact for the |x| ≲ 1e5
     pre-activations a SIREN ever sees) and evaluates a 6-term odd
-    minimax fit (max abs error 9.65e-8 ≈ f32 ulp). Autodiff
-    differentiates the polynomial itself, so training gradients are the
-    EXACT derivative of the evaluated function — self-consistent, no
-    mismatch between the field and its learned geometry.
+    minimax fit (max abs error 9.65e-8 ≈ f32 ulp).
+
+    Differentiation: a custom JVP evaluates the EXACT derivative of the
+    polynomial, ``d/dx [r·p(r²)] = p + 2r²·p'(r²)`` (~5e-6 vs cos —
+    self-consistent with the evaluated function), holding ONE residual
+    plane like jnp.sin's cos. The naive autodiff alternative kept
+    r/r²/partial products live per activation — measured 107.7M of a
+    102M scoped-VMEM budget in the width-64 fused backward kernel
+    (jax.checkpoint would fix that but remat2 has no Pallas TPU
+    lowering, probed v5e).
     """
-    r = x - jnp.round(x * (1.0 / _TWO_PI)) * _TWO_PI
-    r2 = r * r
-    p = jnp.asarray(_SIN_COEFFS[-1], x.dtype)
-    for c in _SIN_COEFFS[-2::-1]:
-        p = p * r2 + c
+    r, _, p = _reduce_poly(x)
     return r * p
+
+
+@sin_fast.defjvp
+def _sin_fast_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    r, r2, p = _reduce_poly(x)
+    dp = jnp.asarray((len(_SIN_COEFFS) - 1) * _SIN_COEFFS[-1], x.dtype)
+    for k in range(len(_SIN_COEFFS) - 2, 0, -1):
+        dp = dp * r2 + k * _SIN_COEFFS[k]
+    return r * p, (p + 2.0 * r2 * dp) * t
 
 
 #: "auto" impl picks matmul at/above this max hidden width — measured

@@ -98,6 +98,8 @@ def main():
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "componentwise", "matmul"],
                     help="NeuralSDF evaluator (auto: matmul at width>=64)")
+    ap.add_argument("--activation", default="sine",
+                    help="NeuralSDF activation (sine | sine_fast | ...)")
     ap.add_argument("--matmul-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="matmul OPERAND precision for the matmul "
@@ -111,6 +113,7 @@ def main():
     learn_scene = Union(
         children=(ROOM, NeuralSDF(hidden=(args.hidden, args.hidden), seed=11,
                                   scale=0.5, w0=8.0, impl=args.impl,
+                                  activation=args.activation,
                                   matmul_dtype=args.matmul_dtype))
     )
     # All views render as ONE multi-camera batch: a single pipeline per
