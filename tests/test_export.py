@@ -125,3 +125,28 @@ def test_cli_export_subcommand(tmp_path):
     q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float32)
     t = jnp.asarray([[0.0, 0.2, 2.5]], jnp.float32)
     assert np.asarray(fn(params, q, t)).shape == (1, 16, 32, 3)
+
+
+def test_export_sine_fast_neural_scene(tmp_path):
+    """A sine_fast NeuralSDF exports through jax.export and round-trips
+    exactly — the custom-JVP activation must lower on the forward-only
+    serving path (round 5)."""
+    from ray_marching_tpu.scene.neural import NeuralSDF
+
+    cfg = RenderConfig(
+        px_width=48, px_height=32,
+        focal_length=PX * 32, sensor_width=PX * 48, sensor_height=PX * 32,
+        marching_steps=6,
+    )
+    r = Renderer(
+        NeuralSDF(hidden=(16, 16), seed=7, activation="sine_fast",
+                  impl="matmul"),
+        cfg, dtype=jnp.float32,
+    )
+    path = export_render(r, tmp_path / "nf.rmx", mode=0, degree=1)
+    fn, params, meta = load_render(path)
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float32)
+    t = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32)
+    img = np.asarray(fn(params, q, t))
+    ref = np.asarray(r.jitted(mode=0, degree=1)(r.init_params, q, t))
+    np.testing.assert_array_equal(img, ref)
