@@ -159,7 +159,8 @@ class FrameBuffer:
         from ray_marching_tpu.io.image import encode_png
         from ray_marching_tpu.viewer import _display_frame
 
-        png = encode_png(_display_frame(image))
+        # level 1: a live frame is drawn once — encode latency beats size
+        png = encode_png(_display_frame(image), level=1)
         with self._cond:
             self.seq += 1
             self.png = png
