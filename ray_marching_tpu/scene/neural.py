@@ -101,10 +101,15 @@ def _sin_fast_jvp(primals, tangents):
     return r * p, (p + 2.0 * r2 * dp) * t
 
 
-#: "auto" impl picks matmul at/above this max hidden width — measured
-#: crossover on TPU v5e (docs/PERFORMANCE.md: componentwise wins at 16,
-#: matmul from 32 up).
-MATMUL_MIN_WIDTH = 32
+#: "auto" impl picks matmul at/above this max hidden width. Round-3 put
+#: the crossover at 32 (componentwise won w16 train by ~5% under jnp.sin);
+#: round-5 re-measured with sine_fast — matmul wins w16 decisively
+#: (train 4.97 vs 30.9 ms at 512², and it dispatches to the
+#: fast-compiling XLA march) and the sine gap was within noise with
+#: 2.5× faster compiles, so matmul takes everything from 8 up. Truly
+#: tiny nets (hidden < 8) stay componentwise — MXU tiles would run
+#: nearly empty and nobody has measured them.
+MATMUL_MIN_WIDTH = 8
 
 
 @dataclass(frozen=True)

@@ -147,7 +147,8 @@ def test_matmul_scalar_and_broadcast_calls():
 
 
 def test_impl_dispatch():
-    assert resolve_impl(NeuralSDF(hidden=(16, 16))) == "componentwise"
+    assert resolve_impl(NeuralSDF(hidden=(16, 16))) == "matmul"
+    assert resolve_impl(NeuralSDF(hidden=(4, 4))) == "componentwise"
     assert resolve_impl(NeuralSDF(hidden=(MATMUL_MIN_WIDTH,))) == "matmul"
     assert resolve_impl(NeuralSDF(hidden=(16,), impl="matmul")) == "matmul"
     assert resolve_impl(NeuralSDF(hidden=(256,), impl="componentwise")) == \
