@@ -121,7 +121,7 @@ class NeuralSDF(Node):
         activation: 'sine' | 'sine_fast' | 'softplus' | 'tanh'
             ('sine_fast' = polynomial sine, ~10x faster forward on TPU
             at f32-ulp accuracy; see sin_fast).
-        w0: SIREN frequency scale for the first layer (sine only).
+        w0: SIREN frequency scale for the first layer (sine variants).
         seed: weight-init seed (deterministic scenes).
         scale: output scale — a freshly-initialized field is roughly a
             sphere-ish blob of this radius around the origin (see
