@@ -200,7 +200,10 @@ class FastRenderer:
         # kernel-body-only by contract (never under shard_map XLA).
         from ray_marching_tpu.scene.graph import _prune_enabled, compile_node
 
-        self.sdf_c_kernel = compile_node(scene, prune=_prune_enabled())
+        self.sdf_c_kernel = (
+            compile_node(scene, prune=True) if _prune_enabled()
+            else self.sdf_c  # default: same closure, no second compile
+        )
         self.cyclic_cmap = shaders.load_cyclic_cmap(dtype)
         self.cmap_coeffs = (
             shaders.fourier_cmap_coeffs() if config.cmap_fourier else None

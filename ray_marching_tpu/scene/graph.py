@@ -249,10 +249,12 @@ def bounding_sphere_fn(node: Node) -> Optional[Callable]:
     child balls; SmoothUnion additionally inflates by ``log(n)/k`` (the
     LSE soft-min undershoots the hard min by at most that; k <= 0 yields
     R = inf, i.e. never skip); Onion/Rounding inflate by their radius;
-    Affine maps the centre conservatively through the (possibly non-unit)
-    quaternion via its smallest singular value. Unbounded nodes (Plane,
-    NeuralSDF and other custom fields) return None, which disables the
-    skip for every ancestor union child containing them.
+    Affine re-centres at its translation and engages only while the
+    quaternion is unit-or-expanding (a contracting q shrinks the field's
+    growth slope below 1 and no sphere-form bound is valid — R = inf
+    then). Unbounded nodes (Plane, NeuralSDF and other custom fields)
+    return None, which disables the skip for every ancestor union child
+    containing them.
     """
     if isinstance(node, Sphere):
         return lambda p: (0.0, 0.0, 0.0, jnp.abs(p["radius"]))
@@ -283,23 +285,24 @@ def bounding_sphere_fn(node: Node) -> Optional[Callable]:
             cx, cy, cz, r = child(p["child"])
             q = p["orientation"]
             t = p["translation"]
-            # The inverse query l = A(p - t) scales lengths by at least
-            # s_min = min(1, sqrt((1-2u)^2 + 4w^2 u)) (singular values of
-            # the 2-cross rotation identity at non-unit |q|; = 1 for unit
-            # quaternions), so d(p) = d_child(l) >= s_min|p - t| - |c| - R
-            # — conservative by up to 2|c| vs the rotated-centre bound,
-            # but valid even when optimization lets q drift off S^3.
+            # The inverse query l = A(p - t) scales lengths by the
+            # smallest singular value s_min = min(1, m),
+            # m = sqrt((1-2u)^2 + 4w^2 u) (the 2-cross rotation identity
+            # at non-unit |q|; m = 1 exactly on S^3). A sphere-form bound
+            # (slope 1 in |p - t|) is only valid when s_min >= 1: for a
+            # CONTRACTING quaternion (m < 1) the true field grows at
+            # slope s_min and any slope-1 lb eventually overtakes it —
+            # an earlier (|c|+R)/s_min "rescaled radius" version had
+            # exactly that flaw. So the bound engages only when
+            # m >= 1 - 16 ulp (unit-to-rounding or expanding; the <=16ulp
+            # slope deficit is absorbed by the caller's 32-ulp lb
+            # shrink), and reports R = inf — never skip — otherwise,
+            # staying safe when optimization drags q inside S^3.
             u = q[1] ** 2 + q[2] ** 2 + q[3] ** 2
             m = jnp.sqrt((1.0 - 2.0 * u) ** 2 + 4.0 * q[0] ** 2 * u)
-            s_min = jnp.minimum(1.0, m)
             c_norm = jnp.sqrt(cx * cx + cy * cy + cz * cz)
-            # Fold the |p - t| scaling into sphere form: centre t, radius
-            # (|c| + R)/s_min — valid since s_min|p-t| - |c| - R >= 0 iff
-            # |p - t| >= (|c| + R)/s_min; guard s_min ~ 0 with inf.
-            r_eff = jnp.where(
-                s_min > 1e-6, (c_norm + r) / jnp.maximum(s_min, 1e-6),
-                jnp.inf,
-            )
+            tol = 16 * jnp.finfo(jnp.result_type(m)).eps
+            r_eff = jnp.where(m >= 1.0 - tol, c_norm + r, jnp.inf)
             return t[0], t[1], t[2], r_eff
 
         return affine_bound

@@ -57,8 +57,17 @@ _SIN_COEFFS = (
 )
 
 
+# Cody-Waite split of 2π: HI is exact in 8 mantissa bits (201/32), so
+# k·HI is exact in f32 for |k| < 2^15 and the reduction error is only
+# k·ulp(LO) ≈ |x|·4e-11 — a single-constant reduction inherits
+# k·|2π − fl32(2π)| ≈ |x|·2e-8 instead (6e-6 at |x|=300, f32).
+_TWO_PI_HI = 6.28125
+_TWO_PI_LO = _TWO_PI - _TWO_PI_HI
+
+
 def _reduce_poly(x):
-    r = x - jnp.round(x * (1.0 / _TWO_PI)) * _TWO_PI
+    k = jnp.round(x * (1.0 / _TWO_PI))
+    r = (x - k * _TWO_PI_HI) - k * _TWO_PI_LO
     r2 = r * r
     p = jnp.asarray(_SIN_COEFFS[-1], x.dtype)
     for c in _SIN_COEFFS[-2::-1]:
@@ -74,9 +83,13 @@ def sin_fast(x):
     Measured on v5e (512², 16 steps, width-256 matmul NeuralSDF): the
     forward render is **74.0 ms with jnp.sin vs 6.8 ms with tanh** — the
     transcendental, not the MXU, sets the pace of SIREN fields. This
-    range-reduces to [-π, π] (one round + fnma; exact for the |x| ≲ 1e5
-    pre-activations a SIREN ever sees) and evaluates a 6-term odd
-    minimax fit (max abs error 9.65e-8 ≈ f32 ulp).
+    range-reduces to [-π, π] with a two-constant Cody-Waite split (k·HI
+    exact in f32 for |k| < 2^15, residual error ~|x|·4e-11) and
+    evaluates a 6-term odd minimax fit: max abs error 9.65e-8 in f64;
+    in f32 polynomial/reduction rounding brings it to ≤ 2e-6 vs the
+    exact sine of the same f32 input over |x| ≤ 300
+    (tests/test_neural.py; the f32 INPUT quantization itself, ~|x|·6e-8,
+    is the larger effect and applies to jnp.sin equally).
 
     Differentiation: a custom JVP evaluates the EXACT derivative of the
     polynomial, ``d/dx [r·p(r²)] = p + 2r²·p'(r²)`` (~5e-6 vs cos —

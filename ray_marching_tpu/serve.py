@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import logging
 import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -76,66 +76,48 @@ class RenderServer:
             t = jnp.concatenate([t] * n, axis=0)
         np.asarray(self.render_fn(self.params, q, t))
         self._warm = True
+        from ray_marching_tpu.io.httpserver import CountingHandler, new_stats
+
         #: request/error counters (monotonic; read for observability —
         #: tests assert on them, ops can scrape them via /stats).
-        self.stats = {"requests": 0, "errors_400": 0, "errors_500": 0,
-                      "client_drops": 0}
+        self.stats = new_stats()
 
         server = self
 
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, fmt, *args):  # quiet by default
-                pass
+        class Handler(CountingHandler):
+            stats = server.stats
+            log = globals()["log"]
 
-            def _send(self, code, body: bytes, ctype: str):
-                self.send_response(code)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def do_GET(self):
+            def handle_route(self, method):
                 url = urlparse(self.path)
-                server.stats["requests"] += 1
-                try:
-                    if url.path == "/healthz":
-                        self._send(200, b"ok", "text/plain")
-                    elif url.path == "/meta":
-                        self._send(
-                            200, json.dumps(server.meta).encode(),
-                            "application/json",
-                        )
-                    elif url.path == "/stats":
-                        self._send(
-                            200, json.dumps(server.stats).encode(),
-                            "application/json",
-                        )
-                    elif url.path == "/render":
-                        qs = parse_qs(url.query)
-                        pose = qs.get("pose", ["1,0,0,0/0,0,0"])[0]
-                        try:  # malformed pose strings are the caller's fault
-                            q, t = _parse_pose(pose, server.dtype)
-                        except (ValueError, IndexError) as exc:
-                            server.stats["errors_400"] += 1
-                            log.warning("400 %s: %s", self.path, exc)
-                            self._send(400, str(exc).encode(), "text/plain")
-                            return
-                        png = server.render_png_arrays(q, t)
-                        self._send(200, png, "image/png")
-                    else:
-                        self._send(404, b"not found", "text/plain")
-                except OSError as exc:
-                    # Socket already broken (client gone mid-response) —
-                    # nothing sensible left to write; count + log it.
-                    server.stats["client_drops"] += 1
-                    log.info("client dropped %s: %s", self.path, exc)
-                except Exception as exc:  # device/handler failure: ours
-                    server.stats["errors_500"] += 1
-                    log.exception("500 %s", self.path)
-                    try:
-                        self._send(500, str(exc).encode(), "text/plain")
-                    except OSError:
-                        server.stats["client_drops"] += 1
+                if method != "GET":
+                    self._send(404, b"not found", "text/plain")
+                elif url.path == "/healthz":
+                    self._send(200, b"ok", "text/plain")
+                elif url.path == "/meta":
+                    self._send(
+                        200, json.dumps(server.meta).encode(),
+                        "application/json",
+                    )
+                elif url.path == "/stats":
+                    self._send(
+                        200, json.dumps(server.stats).encode(),
+                        "application/json",
+                    )
+                elif url.path == "/render":
+                    qs = parse_qs(url.query)
+                    pose = qs.get("pose", ["1,0,0,0/0,0,0"])[0]
+                    try:  # malformed pose strings are the caller's fault
+                        q, t = _parse_pose(pose, server.dtype)
+                    except (ValueError, IndexError) as exc:
+                        self.bump("errors_400")
+                        self.log.warning("400 %s: %s", self.path, exc)
+                        self._send(400, str(exc).encode(), "text/plain")
+                        return
+                    png = server.render_png_arrays(q, t)
+                    self._send(200, png, "image/png")
+                else:
+                    self._send(404, b"not found", "text/plain")
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]

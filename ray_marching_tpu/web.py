@@ -37,7 +37,7 @@ import json
 import logging
 import threading
 import time
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -61,13 +61,17 @@ class BrowserInput:
     polls (frames slower than input posts must not drop mode clicks).
 
     ``max_fps`` throttles the render loop (no point racing a browser
-    that displays ~60 Hz; an idle session renders at most this rate).
-    ``idle_timeout`` quits the session after that many seconds without
-    any client contact (a closed tab cannot POST quit=true).
+    that displays ~60 Hz). After ``pause_after`` seconds without client
+    contact the loop PAUSES (no device dispatch, no encode — a closed
+    tab cannot POST quit=true, and an unattended session must not burn
+    the accelerator) and resumes on the next input or frame fetch;
+    ``idle_timeout`` additionally QUITS the session outright after that
+    many contact-free seconds (None = paused sessions live forever).
     """
 
     def __init__(self, max_fps: float = 30.0,
-                 idle_timeout: float | None = None):
+                 idle_timeout: float | None = None,
+                 pause_after: float = 5.0):
         self._lock = threading.Lock()
         self._mouse_ndc = (0.0, 0.0)
         self._pressed: set[str] = set()
@@ -76,8 +80,10 @@ class BrowserInput:
         self._save = False
         self._last_contact = time.monotonic()
         self._first_contact = threading.Event()
+        self._contact = threading.Event()  # pulses on every client touch
         self._min_dt = 1.0 / max_fps if max_fps else 0.0
         self._idle_timeout = idle_timeout
+        self._pause_after = pause_after
         self._last_poll = 0.0
         self._stop = False  # server shutdown overrides everything
 
@@ -99,20 +105,32 @@ class BrowserInput:
                 self._quit = True
             self._last_contact = time.monotonic()
         self._first_contact.set()
+        self._contact.set()
 
     def touch(self) -> None:
         """Record client contact without input (frame fetches count)."""
         self._last_contact = time.monotonic()
         self._first_contact.set()
+        self._contact.set()
 
     def stop(self) -> None:
         self._stop = True
         self._first_contact.set()
+        self._contact.set()
 
     def poll(self) -> InputSnapshot:
-        # Don't burn device time before any client has connected.
+        # Don't burn device time before any client has connected...
         while not self._first_contact.is_set() and not self._stop:
             self._first_contact.wait(0.1)
+        # ...or after the last one went away: pause until fresh contact
+        # (or the idle_timeout hard-quit below).
+        while (not self._stop and not self._quit
+               and time.monotonic() - self._last_contact > self._pause_after
+               and (self._idle_timeout is None
+                    or time.monotonic() - self._last_contact
+                    < self._idle_timeout)):
+            self._contact.clear()
+            self._contact.wait(0.5)
         if self._stop:
             return InputSnapshot(quit=True)
         now = time.monotonic()
@@ -265,6 +283,7 @@ class LiveViewer:
                  session: SessionState | None = None,
                  control: ControlConfig = ControlConfig(),
                  max_fps: float = 30.0, idle_timeout: float | None = None,
+                 pause_after: float = 5.0,
                  fetch_stride: int = 1, max_frames: int | None = None,
                  save_dir: str | None = None):
         self.renderer = renderer
@@ -277,7 +296,8 @@ class LiveViewer:
         self.fetch_stride = fetch_stride
         self.max_frames = max_frames
         self.save_dir = save_dir
-        self.input = BrowserInput(max_fps=max_fps, idle_timeout=idle_timeout)
+        self.input = BrowserInput(max_fps=max_fps, idle_timeout=idle_timeout,
+                                  pause_after=pause_after)
         self.frames = FrameBuffer()
         self._pose_lock = threading.Lock()
         self._pose = {"position": [0.0, 0.0, 1.0],
@@ -285,70 +305,19 @@ class LiveViewer:
         self._session_now = self.session0
         self._loop_thread: threading.Thread | None = None
         self._done = threading.Event()
-        self.stats = {"requests": 0, "errors_400": 0, "errors_500": 0,
-                      "client_drops": 0}
+        from ray_marching_tpu.io.httpserver import CountingHandler, new_stats
+
+        self.stats = new_stats()
 
         viewer = self
 
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, fmt, *args):
-                pass
+        class Handler(CountingHandler):
+            stats = viewer.stats
+            log = globals()["log"]
 
-            def _send(self, code, body: bytes, ctype: str, seq=None):
-                self.send_response(code)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                self.send_header("Cache-Control", "no-store")
-                if seq is not None:
-                    self.send_header("X-Seq", str(seq))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def do_GET(self):
+            def handle_route(self, method):
                 url = urlparse(self.path)
-                viewer.stats["requests"] += 1
-                try:
-                    if url.path == "/":
-                        self._send(200, _PAGE.encode(), "text/html")
-                    elif url.path == "/healthz":
-                        self._send(200, b"ok", "text/plain")
-                    elif url.path == "/state":
-                        self._send(
-                            200, json.dumps(viewer.state()).encode(),
-                            "application/json",
-                        )
-                    elif url.path == "/frame.png":
-                        qs = parse_qs(url.query)
-                        try:
-                            after = int(qs.get("after", ["0"])[0])
-                        except ValueError:
-                            viewer.stats["errors_400"] += 1
-                            self._send(400, b"after must be an int",
-                                       "text/plain")
-                            return
-                        viewer.input.touch()  # fetches keep the session live
-                        seq, png = viewer.frames.wait(after, timeout=10.0)
-                        if png is None:
-                            self._send(204, b"", "text/plain", seq=seq)
-                        else:
-                            self._send(200, png, "image/png", seq=seq)
-                    else:
-                        self._send(404, b"not found", "text/plain")
-                except OSError as exc:
-                    viewer.stats["client_drops"] += 1
-                    log.info("client dropped %s: %s", self.path, exc)
-                except Exception as exc:
-                    viewer.stats["errors_500"] += 1
-                    log.exception("500 %s", self.path)
-                    try:
-                        self._send(500, str(exc).encode(), "text/plain")
-                    except OSError:
-                        viewer.stats["client_drops"] += 1
-
-            def do_POST(self):
-                url = urlparse(self.path)
-                viewer.stats["requests"] += 1
-                try:
+                if method == "POST":
                     if url.path != "/input":
                         self._send(404, b"not found", "text/plain")
                         return
@@ -358,22 +327,38 @@ class LiveViewer:
                         if not isinstance(data, dict):
                             raise ValueError("input body must be an object")
                     except ValueError as exc:
-                        viewer.stats["errors_400"] += 1
-                        log.warning("400 %s: %s", self.path, exc)
+                        self.bump("errors_400")
+                        self.log.warning("400 %s: %s", self.path, exc)
                         self._send(400, str(exc).encode(), "text/plain")
                         return
                     viewer.input.update(data)
                     self._send(200, b"ok", "text/plain")
-                except OSError as exc:
-                    viewer.stats["client_drops"] += 1
-                    log.info("client dropped %s: %s", self.path, exc)
-                except Exception as exc:
-                    viewer.stats["errors_500"] += 1
-                    log.exception("500 %s", self.path)
+                elif url.path == "/":
+                    self._send(200, _PAGE.encode(), "text/html")
+                elif url.path == "/healthz":
+                    self._send(200, b"ok", "text/plain")
+                elif url.path == "/state":
+                    self._send(
+                        200, json.dumps(viewer.state()).encode(),
+                        "application/json",
+                    )
+                elif url.path == "/frame.png":
+                    qs = parse_qs(url.query)
                     try:
-                        self._send(500, str(exc).encode(), "text/plain")
-                    except OSError:
-                        viewer.stats["client_drops"] += 1
+                        after = int(qs.get("after", ["0"])[0])
+                    except ValueError:
+                        self.bump("errors_400")
+                        self._send(400, b"after must be an int",
+                                   "text/plain")
+                        return
+                    viewer.input.touch()  # fetches keep the session live
+                    seq, png = viewer.frames.wait(after, timeout=10.0)
+                    if png is None:
+                        self._send(204, b"", "text/plain", seq=seq)
+                    else:
+                        self._send(200, png, "image/png", seq=seq)
+                else:
+                    self._send(404, b"not found", "text/plain")
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]

@@ -163,6 +163,14 @@ def test_sin_fast_accuracy_and_grad():
     np.testing.assert_allclose(
         np.asarray(sin_fast(x)), np.sin(np.asarray(x)), atol=1.2e-7
     )
+    # f32 (the production dtype): the Cody-Waite reduction keeps the
+    # error at polynomial-rounding level, not k*ulp(2pi) level — a
+    # single-constant reduction would read ~6e-6 at |x| = 300
+    x32 = x.astype(jnp.float32)
+    exact = np.sin(np.asarray(x32, dtype=np.float64))  # sin of the f32 input
+    np.testing.assert_allclose(
+        np.asarray(sin_fast(x32)).astype(np.float64), exact, atol=2e-6
+    )
     g = jax.vmap(jax.grad(sin_fast))(x)
     # the derivative of a VALUE-fit polynomial is less accurate than the
     # value itself (nothing minimizes its error directly): ~5e-6 max vs

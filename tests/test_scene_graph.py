@@ -192,3 +192,54 @@ def test_union_pruning_compile():
         px - np.array([float(cx), float(cy), float(cz)]), axis=1
     ) - float(R)
     assert (d - lb).min() > -1e-9
+
+
+def test_union_pruning_affine_contracting_quaternion_safe():
+    """A CONTRACTING quaternion (|q| < 1) shrinks an affine child's growth
+    slope below 1, so no sphere-form lower bound is valid — the bound must
+    disable itself (R = inf) and the pruned compile must still match the
+    plain one on such params (the round-5 review caught a rescaled-radius
+    version that skipped the true minimum child here)."""
+    import jax
+
+    from ray_marching_tpu.scene.graph import (
+        Affine,
+        Sphere,
+        Torus,
+        Union,
+        bounding_sphere_fn,
+        compile_node,
+        init_params,
+    )
+
+    node = Union(children=(
+        Sphere(radius=4.0),
+        Affine(child=Union(children=(Sphere(radius=1.0),
+                                     Torus(radius1=0.7, radius2=0.2))),
+               orientation=(1.0, 0.0, 0.0, 0.0),
+               translation=(0.0, 0.0, 0.0)),
+    ))
+    params = init_params(node, jnp.float64)
+    # drive the affine quaternion INSIDE S^3 (contraction by ~0.72)
+    params["c1"]["orientation"] = jnp.asarray([0.6, 0.6, 0.0, 0.0],
+                                              jnp.float64)
+    bfn = bounding_sphere_fn(node.children[1])
+    assert bfn is not None
+    _, _, _, R = bfn(params["c1"])
+    assert np.isinf(float(R))  # bound disabled -> skip can never fire
+
+    plain = compile_node(node)
+    pruned = compile_node(node, prune=True)
+    rng = np.random.default_rng(3)
+    x, y, z = (jnp.asarray(rng.uniform(-12, 12, (8, 128)))
+               for _ in range(3))
+    np.testing.assert_allclose(
+        np.asarray(plain(params, x, y, z)),
+        np.asarray(pruned(params, x, y, z)), rtol=1e-14, atol=1e-15,
+    )
+
+    # unit quaternion: the bound engages again
+    params["c1"]["orientation"] = jnp.asarray([1.0, 0.0, 0.0, 0.0],
+                                              jnp.float64)
+    _, _, _, R = bfn(params["c1"])
+    assert np.isfinite(float(R))

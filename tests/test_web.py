@@ -142,3 +142,39 @@ def test_idle_timeout():
         assert v.wait(timeout=30.0)  # the dead tab can't POST quit
     finally:
         v.close()
+
+
+def test_idle_pause_and_resume():
+    """After pause_after seconds with no client contact the render loop
+    PAUSES (no frames, no device work — a closed tab can't send quit);
+    the next frame fetch resumes it (round-5 review finding)."""
+    import time
+
+    w, h = 48, 32
+    cfg = RenderConfig(
+        px_width=w, px_height=h, focal_length=PX * h,
+        sensor_width=PX * w, sensor_height=PX * h, marching_steps=4,
+    )
+    r = Renderer(registry.make_scene("single_sphere"), cfg)
+    v = LiveViewer(r, port=0, max_fps=120.0, pause_after=0.3)
+    v.start()
+    try:
+        _post(v.port, "/input", {})
+        _next_frame(v.port, after=0)
+        time.sleep(1.0)  # go silent past pause_after
+        n1 = _state(v.port)["frames_rendered"]  # /state does NOT touch
+        time.sleep(0.7)
+        n2 = _state(v.port)["frames_rendered"]
+        assert n2 <= n1 + 1  # paused: no frame churn while unattended
+        status, seq, _ = _next_frame(v.port, after=n2)  # fetch = contact
+        assert status in (200, 204)
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if _state(v.port)["frames_rendered"] > n2 + 1:
+                break
+            time.sleep(0.1)
+        assert _state(v.port)["frames_rendered"] > n2 + 1  # resumed
+        _post(v.port, "/input", {"quit": True})
+        assert v.wait(timeout=30.0)
+    finally:
+        v.close()
