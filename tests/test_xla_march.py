@@ -48,8 +48,11 @@ def _tree_max_diff(a, b):
 def test_auto_dispatch():
     cfg = _cfg()
     assert FastRenderer(_neural_scene(), cfg).march_impl == "xla"
-    # width-16 'auto' impl resolves componentwise -> fused kernel
-    assert FastRenderer(NeuralSDF(hidden=(16,)), cfg).march_impl == "fused"
+    # width-16 'auto' impl now resolves matmul (round-5 crossover at 8)
+    # -> below the fused threshold -> XLA march; truly tiny nets stay
+    # componentwise -> analytic-style fused kernel
+    assert FastRenderer(NeuralSDF(hidden=(16,)), cfg).march_impl == "xla"
+    assert FastRenderer(NeuralSDF(hidden=(4,)), cfg).march_impl == "fused"
     assert FastRenderer(Sphere(0.5), cfg).march_impl == "fused"
     # nested neural nodes are found through combinators and transforms
     nested = Union((Sphere(0.5),
@@ -64,6 +67,14 @@ def test_auto_dispatch():
     assert FastRenderer(
         Union((Sphere(0.5), wide)), cfg
     ).march_impl == "fused"
+    # Cheap activations move the fused switch to 128 (activation-aware
+    # dispatch, round 5: xla wins w64 sine_fast training, fused wins 128+)
+    fast64 = NeuralSDF(hidden=(64, 64), seed=3, impl="matmul",
+                       activation="sine_fast")
+    assert FastRenderer(fast64, cfg).march_impl == "xla"
+    fast128 = NeuralSDF(hidden=(128, 128), seed=3, impl="matmul",
+                        activation="sine_fast")
+    assert FastRenderer(fast128, cfg).march_impl == "fused"
     with pytest.raises(ValueError):
         FastRenderer(Sphere(0.5), cfg, march_impl="triton")
 
