@@ -230,7 +230,8 @@ class KittySink:
         from ray_marching_tpu.io.image import encode_png
 
         img = _display_frame(image)  # camera mean, like write_png
-        payload = base64.standard_b64encode(encode_png(img))
+        # level 1: a live frame is drawn once — encode latency beats size
+        payload = base64.standard_b64encode(encode_png(img, level=1))
         out = []
         if self._first:
             out.append("\x1b[s")  # save cursor
