@@ -210,8 +210,22 @@ def _march_tile(sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
     return x, y, z
 
 
+class _RowSliceHist:
+    """View of the history ref restricted to a row band: forwards
+    ``hist[i, c] = plane`` stores as ``ref[i, c, s0:s1] = plane`` so the
+    dual-issue half-tiles (below) share one full-tile history buffer and
+    the backward's handoff layout stays unchanged."""
+
+    def __init__(self, ref, s0, s1):
+        self._ref, self._s0, self._s1 = ref, s0, s1
+
+    def __setitem__(self, idx, val):
+        i, c = idx
+        self._ref[i, c, self._s0:self._s1] = val
+
+
 def _render_kernel(sdf_c, rebuild, steps, tau, offsets, inverse, eps,
-                   track_min, log_hist, track_argpos, n_mats,
+                   track_min, log_hist, track_argpos, dual, n_mats,
                    params_ref, *refs):
     mat_refs, refs = refs[:n_mats], refs[n_mats:]
     (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, valid_ref,
@@ -233,6 +247,48 @@ def _render_kernel(sdf_c, rebuild, steps, tau, offsets, inverse, eps,
     # broadcast over an int32 plane — Mosaic has no per-grid-step SMEM
     # scalar outputs, and the plane is noise next to the history itself.
     nact_ref = extra.pop(0) if (log_hist and tau != 0.0) else None
+
+    if dual:
+        # RM_TPU_NEURAL_DUAL experiment: march the tile as two independent
+        # half-tiles traced back to back. With steps <= MAX_UNROLL_STEPS
+        # both marches are straight-line code in one block, giving the
+        # Mosaic scheduler two dependency-free chains — the hypothesis was
+        # that one half's VPU activation (sine) work could overlap the
+        # other half's MXU dots, the residual headroom the round-5
+        # roofline trace identified for wide-net forwards. MEASURED
+        # NEUTRAL on v5e (512², 16 steps, sine_fast): w256 fwd 14.78 vs
+        # 14.92 ms, w64 4.41 vs 4.23 — the scheduler does not exploit the
+        # cross-chain independence (or already overlaps within one chain),
+        # so the flag stays an off-by-default probe. Bitwise-identical per
+        # row to the single-chain form: a dot's contraction order does not
+        # depend on the batch (N) partition, so the handoff invariant and
+        # all parity pins hold with the flag on or off
+        # (tests/test_neural_matmul.py::test_dual_issue_bitwise).
+        zero = jnp.zeros((), x.dtype)
+        h = x.shape[0] // 2
+        for s0, s1 in ((0, h), (h, x.shape[0])):
+            hr = (
+                _RowSliceHist(hist_ref, s0, s1)
+                if hist_ref is not None else None
+            )
+            v = valid[s0:s1]
+            xs, ys, zs = _march_tile(
+                sdf_c, params, steps, 0.0, v, x[s0:s1], y[s0:s1], z[s0:s1],
+                dx[s0:s1], dy[s0:s1], dz[s0:s1], hist_ref=hr,
+            )
+            d_c = jnp.where(v, sdf_c(params, xs, ys, zs), zero)
+            nxs, nys, nzs, laps = _normals_block(
+                sdf_c, params, xs, ys, zs, d_c, offsets, inverse, eps
+            )
+            ox_ref[s0:s1] = xs
+            oy_ref[s0:s1] = ys
+            oz_ref[s0:s1] = zs
+            od_ref[s0:s1] = d_c
+            nx_ref[s0:s1] = jnp.where(v, nxs, zero)
+            ny_ref[s0:s1] = jnp.where(v, nys, zero)
+            nz_ref[s0:s1] = jnp.where(v, nzs, zero)
+            lap_ref[s0:s1] = jnp.where(v, laps, zero)
+        return
 
     marched = _march_tile(
         sdf_c, params, steps, tau, valid, x, y, z, dx, dy, dz,
@@ -307,9 +363,23 @@ def _call_render_kernel(sdf_c, rebuild, flat_params, mats, rays7, steps, tau,
     # Constants must match the ray dtype (f64 numpy scalars would promote
     # f32 planes under x64 and break the kernel's typed ref stores).
     offsets, inverse = make_offsets(normals_eps, np_dtype=np.dtype(dtype))
+    import os
+
+    # Dual-issue half-tile experiment (see the block in _render_kernel):
+    # matmul scenes only, exact-parity march shape (tau == 0, no coverage
+    # plane), tiles big enough to split on the 8-row sublane grain.
+    dual = (
+        os.environ.get("RM_TPU_NEURAL_DUAL", "0") == "1"
+        and bool(mats)
+        and tau == 0.0
+        and not track_min
+        and rows_per_tile >= 16
+        and rows_per_tile % 16 == 0
+        and steps <= MAX_UNROLL_STEPS
+    )
     kernel = functools.partial(
         _render_kernel, sdf_c, rebuild, steps, tau, offsets, inverse,
-        normals_eps, track_min, log_hist, track_argpos, len(mats),
+        normals_eps, track_min, log_hist, track_argpos, dual, len(mats),
     )
     plane_spec = pl.BlockSpec(
         (rows_per_tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM

@@ -261,3 +261,41 @@ def test_matmul_bf16_operands_approximate_f32():
     b64 = neural_sdf(node16)(p64, x64, y.astype(jnp.float64),
                              z.astype(jnp.float64))
     np.testing.assert_array_equal(np.asarray(a64), np.asarray(b64))
+
+
+def test_dual_issue_bitwise(monkeypatch):
+    """RM_TPU_NEURAL_DUAL (half-tile dual-issue probe, measured neutral on
+    v5e — ops/pallas_render.py) must stay BITWISE identical to the
+    single-chain kernel, images and gradients, including the row-sliced
+    history handoff."""
+    monkeypatch.setenv("RM_TPU_NEURAL_DUAL", "1")
+    cfg = _render_cfg(steps=6)
+    node = NeuralSDF(hidden=(16, 16), seed=3, impl="matmul",
+                     activation="sine_fast")
+    f = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                     interpret=True, march_impl="fused")
+    q = jnp.asarray([[0.0, 0.0, 1.0, 0.0]], jnp.float64)
+    t = jnp.asarray([[0.0, 0.1, 1.5]], jnp.float64)
+
+    def run():
+        img = f.render(f.init_params, q, t, mode=0, degree=1)
+        g = jax.grad(
+            lambda p: jnp.sum(
+                jnp.nan_to_num(f.render(p, q, t, mode=0, degree=1)) ** 2
+            )
+        )(f.init_params)
+        return np.asarray(img), jax.tree_util.tree_leaves(g)
+
+    img_d, g_d = run()
+    monkeypatch.setenv("RM_TPU_NEURAL_DUAL", "0")
+    f2 = FastRenderer(node, cfg, dtype=jnp.float64, grid_dtype=np.float64,
+                      interpret=True, march_impl="fused")
+    img_s = np.asarray(f2.render(f2.init_params, q, t, mode=0, degree=1))
+    g_s = jax.tree_util.tree_leaves(jax.grad(
+        lambda p: jnp.sum(
+            jnp.nan_to_num(f2.render(p, q, t, mode=0, degree=1)) ** 2
+        )
+    )(f2.init_params))
+    np.testing.assert_array_equal(np.nan_to_num(img_d), np.nan_to_num(img_s))
+    for a, b in zip(g_d, g_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
