@@ -194,3 +194,14 @@ def test_interactive_all_modes_cycle(tmp_path):
     assert modes[s.mode % len(modes)] == "occlusion"
     s = s.step(InputSnapshot(scroll=2))
     assert modes[s.mode % len(modes)] == 0
+
+
+def test_serve_requires_artifact_or_interactive():
+    """`cli serve` without --artifact and without --interactive must fail
+    with a clear SystemExit, not an attribute error deep in loading."""
+    import pytest
+
+    from ray_marching_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="artifact"):
+        main(["serve"])
